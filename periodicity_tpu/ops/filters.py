@@ -1,0 +1,309 @@
+"""FIR/IIR filtering kernels.
+
+TPU-native replacements for the scipy.ndimage / scipy.signal filtering the
+reference relies on:
+
+- ``convolve1d``/``convolve2d`` with ndimage boundary modes
+  (reference core.py:442-457 ndimage.convolve(mode="mirror")).
+- ``gaussian_kernel1d``/``gaussian_filter`` (reference core.py:418
+  ndimage.gaussian_filter, default mode="reflect", truncate=4.0).
+- ``butter_sos`` IIR design + ``sosfiltfilt`` zero-phase filtering
+  (reference core.py:776-807 signal.butter/sosfiltfilt). The biquad
+  cascade runs as a ``lax.scan`` over time with a [n_sections, 2] state
+  carry (direct form II transposed); design happens eagerly in numpy
+  (tiny, shape-static coefficient math).
+
+Boundary-mode mapping (ndimage name -> jnp.pad mode):
+  reflect -> symmetric, mirror -> reflect, nearest -> edge,
+  constant -> constant, wrap -> wrap.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "convolve1d",
+    "convolve2d",
+    "gaussian_kernel1d",
+    "gaussian_filter",
+    "boxcar_kernel1d",
+    "triangle_kernel1d",
+    "butter_sos",
+    "sosfilt",
+    "sosfilt_zi",
+    "sosfiltfilt",
+]
+
+_PAD_MODE = {
+    "reflect": "symmetric",
+    "mirror": "reflect",
+    "nearest": "edge",
+    "constant": "constant",
+    "wrap": "wrap",
+}
+
+
+def convolve1d(x, kernel, mode="mirror", cval=0.0):
+    """ndimage.convolve-compatible 1-D convolution (odd-length kernels)."""
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel)
+    w = kernel.shape[0]
+    lpad = w // 2
+    rpad = w - 1 - lpad
+    kwargs = {"constant_values": cval} if mode == "constant" else {}
+    xp = jnp.pad(x, (lpad, rpad), mode=_PAD_MODE[mode], **kwargs)
+    # convolution flips the kernel relative to correlation
+    return jnp.convolve(xp, kernel, mode="valid")
+
+
+def convolve2d(x, kernel, mode="mirror", cval=0.0):
+    """ndimage.convolve-compatible 2-D convolution."""
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel)
+    kh, kw = kernel.shape
+    pads = ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2))
+    kwargs = {"constant_values": cval} if mode == "constant" else {}
+    xp = jnp.pad(x, pads, mode=_PAD_MODE[mode], **kwargs)
+    flipped = kernel[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        xp[None, None].astype(flipped.dtype),
+        flipped[None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def gaussian_kernel1d(sigma, radius=None, truncate=4.0, dtype=jnp.float64):
+    """scipy.ndimage._gaussian_kernel1d equivalent (normalized)."""
+    if radius is None:
+        radius = int(truncate * float(sigma) + 0.5)
+    x = np.arange(-radius, radius + 1)
+    phi = np.exp(-0.5 / float(sigma) ** 2 * x**2)
+    phi = phi / phi.sum()
+    return jnp.asarray(phi, dtype=dtype)
+
+def boxcar_kernel1d(width, dtype=jnp.float64):
+    """Boxcar kernel with the reference's even-width half-weight edges
+    (reference core.py:419-428): even widths become width+1 taps whose two
+    edge taps carry half weight."""
+    width = int(width)
+    if width % 2 == 0:
+        w = np.ones(width + 1) / width
+        w[0] /= 2
+        w[-1] /= 2
+    else:
+        w = np.ones(width) / width
+    return jnp.asarray(w, dtype=dtype)
+
+
+def triangle_kernel1d(width, dtype=jnp.float64):
+    """Triangle kernel as in reference core.py:430-436."""
+    half = int(width // 2)
+    w = np.array(list(range(1, half + 2)) + list(range(half, 0, -1)), float)
+    w = w / w.sum()
+    return jnp.asarray(w, dtype=dtype)
+
+
+def gaussian_filter(x, sigma, truncate=4.0, mode="reflect"):
+    x = jnp.asarray(x)
+    k = gaussian_kernel1d(sigma, truncate=truncate, dtype=x.dtype)
+    if x.ndim == 1:
+        return convolve1d(x, k, mode=mode)
+    # separable for 2-D
+    out = x
+    for axis in range(x.ndim):
+        out = jnp.apply_along_axis(lambda v: convolve1d(v, k, mode=mode), axis, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Butterworth IIR design (numpy, eager) + zero-phase filtering (jax scan)
+# ---------------------------------------------------------------------------
+
+
+def _butter_zpk(order, wn, btype):
+    """Digital Butterworth (z, p, k); wn normalized to Nyquist like scipy."""
+    # analog prototype: poles on the unit circle, no zeros, unit gain
+    m = np.arange(-order + 1, order, 2)
+    p = -np.exp(1j * np.pi * m / (2 * order))
+    z = np.array([], complex)
+    k = 1.0
+    fs = 2.0
+    warped = 2 * fs * np.tan(np.pi * np.asarray(wn) / fs)
+    if btype == "lowpass":
+        wo = warped
+        p = p * wo
+        k = k * wo**order
+    elif btype == "highpass":
+        wo = warped
+        p = wo / p
+        k = k * np.real(np.prod(-p * 0 + 1.0))  # Butterworth: unchanged
+        z = np.zeros(order, complex)
+    elif btype == "bandpass":
+        w1, w2 = warped
+        bw = w2 - w1
+        wo = np.sqrt(w1 * w2)
+        p_lp = p * bw / 2
+        k = k * bw**order
+        p = np.concatenate([p_lp + np.sqrt(p_lp**2 - wo**2), p_lp - np.sqrt(p_lp**2 - wo**2)])
+        z = np.zeros(order, complex)
+    else:
+        raise ValueError(f"Unknown btype {btype}")
+    # bilinear transform
+    fs2 = 2.0 * fs
+    z_d = (fs2 + z) / (fs2 - z)
+    p_d = (fs2 + p) / (fs2 - p)
+    k_d = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    if btype == "lowpass":
+        z_d = np.concatenate([z_d, -np.ones(len(p_d) - len(z_d))])
+    elif btype in ("highpass", "bandpass"):
+        z_d = np.concatenate([z_d, -np.ones(len(p_d) - len(z_d))])
+    return z_d, p_d, k_d
+
+
+def _zpk2sos(z, p, k):
+    """Pair conjugate poles/zeros into second-order sections.
+
+    The cascade product equals the full transfer function for any valid
+    conjugate pairing, which is all zero-phase filtfilt needs; pairing
+    order follows poles sorted by proximity to the unit circle.
+    """
+    z = np.asarray(z, complex)
+    p = np.asarray(p, complex)
+    n = len(p)
+    assert len(z) == n and n % 2 == 0, "even order expected"
+    # group conjugate pairs
+    def conj_pairs(arr):
+        arr = sorted(arr, key=lambda c: (np.round(c.real, 12), np.round(abs(c.imag), 12)))
+        used = [False] * len(arr)
+        pairs = []
+        for i, c in enumerate(arr):
+            if used[i]:
+                continue
+            used[i] = True
+            if abs(c.imag) < 1e-12:
+                # find another real
+                for j in range(i + 1, len(arr)):
+                    if not used[j] and abs(arr[j].imag) < 1e-12:
+                        used[j] = True
+                        pairs.append((c, arr[j]))
+                        break
+            else:
+                for j in range(i + 1, len(arr)):
+                    if not used[j] and abs(arr[j] - np.conj(c)) < 1e-9:
+                        used[j] = True
+                        pairs.append((c, arr[j]))
+                        break
+        return pairs
+
+    ppairs = conj_pairs(p)
+    zpairs = conj_pairs(z)
+    ppairs.sort(key=lambda pr: -max(abs(pr[0]), abs(pr[1])))
+    sos = np.zeros((n // 2, 6))
+    for i, (pp, zz) in enumerate(zip(ppairs, zpairs)):
+        b = np.real(np.poly([zz[0], zz[1]]))
+        a = np.real(np.poly([pp[0], pp[1]]))
+        sos[i, :3] = b
+        sos[i, 3:] = a
+    sos[0, :3] *= k
+    return sos
+
+
+def butter_sos(order, wn, btype):
+    """Butterworth design returning second-order sections [ns, 6]."""
+    z, p, k = _butter_zpk(order, wn, btype)
+    if len(p) % 2 == 1:
+        # odd order: absorb one real pole/zero into a first-order section
+        # encoded as a biquad with trailing zeros
+        ip = int(np.argmin(np.abs(p.imag)))
+        pr = p[ip]
+        p = np.delete(p, ip)
+        real_zs = np.where(np.abs(z.imag) < 1e-12)[0]
+        if len(real_zs) % 2 == 1:
+            iz = real_zs[0]
+            zr = z[iz]
+            z = np.delete(z, iz)
+        else:
+            zr = None
+        sos_rest = _zpk2sos(z, p, 1.0) if len(p) else np.zeros((0, 6))
+        first = np.zeros(6)
+        first[0] = k
+        first[1] = -k * np.real(zr) if zr is not None else 0.0
+        first[3] = 1.0
+        first[4] = -np.real(pr)
+        return np.vstack([first[None], sos_rest]) if len(sos_rest) else first[None]
+    return _zpk2sos(z, p, k)
+
+
+def sosfilt_zi(sos):
+    """Steady-state initial conditions per section (scipy.signal.sosfilt_zi)."""
+    sos = np.asarray(sos, float)
+    ns = sos.shape[0]
+    zi = np.zeros((ns, 2))
+    scale = 1.0
+    for s in range(ns):
+        b, a = sos[s, :3], sos[s, 3:]
+        b = b / a[0]
+        a = a / a[0]
+        # lfilter_zi: solve (I - companion(a).T) zi = B
+        AT = np.array([[-a[1], 1.0], [-a[2], 0.0]])
+        Bv = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
+        zi_s = np.linalg.solve(np.eye(2) - AT, Bv)
+        zi[s] = scale * zi_s
+        scale *= b.sum() / a.sum()
+    return zi
+
+
+def sosfilt(sos, x, zi=None):
+    """Cascaded biquad filtering via lax.scan (direct form II transposed).
+
+    sos: [ns, 6]; x: [N]; zi: [ns, 2] initial state.
+    Returns (y, zf).
+    """
+    sos = jnp.asarray(sos, dtype=jnp.result_type(x, jnp.float32))
+    x = jnp.asarray(x)
+    ns = sos.shape[0]
+    if zi is None:
+        zi = jnp.zeros((ns, 2), x.dtype)
+    b = sos[:, :3] / sos[:, 3:4]
+    a = sos[:, 3:] / sos[:, 3:4]
+
+    def step(z, xt):
+        v = xt
+        new_z = []
+        for s in range(ns):  # static unroll over sections
+            y = b[s, 0] * v + z[s, 0]
+            z0 = b[s, 1] * v - a[s, 1] * y + z[s, 1]
+            z1 = b[s, 2] * v - a[s, 2] * y
+            new_z.append(jnp.stack([z0, z1]))
+            v = y
+        return jnp.stack(new_z), v
+
+    zf, y = jax.lax.scan(step, jnp.asarray(zi, x.dtype), x)
+    return y, zf
+
+
+def sosfiltfilt(sos, x):
+    """Zero-phase forward-backward filtering (scipy.signal.sosfiltfilt parity:
+    odd padding with default padlen, steady-state initial conditions)."""
+    sos_np = np.asarray(sos, float)
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    ntaps = 2 * sos_np.shape[0] + 1
+    ntaps -= min((sos_np[:, 2] == 0).sum(), (sos_np[:, 5] == 0).sum())
+    edge = ntaps * 3
+    if n <= edge:
+        raise ValueError("The length of the input vector x must be greater than padlen.")
+    # odd extension
+    left = 2 * x[0] - x[1 : edge + 1][::-1]
+    right = 2 * x[-1] - x[-(edge + 1) : -1][::-1]
+    ext = jnp.concatenate([left, x, right])
+    zi = jnp.asarray(sosfilt_zi(sos_np), x.dtype)
+    y, _ = sosfilt(sos_np, ext, zi * ext[0])
+    y_rev = y[::-1]
+    y2, _ = sosfilt(sos_np, y_rev, zi * y_rev[0])
+    out = y2[::-1]
+    return out[edge : edge + n]

@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
+(mesh/pjit/shard_map paths) can be exercised without TPU pods, mirroring the
+strategy recommended in SURVEY.md §4. float64 is enabled so golden-value
+comparisons against scipy references hold at rtol<=1e-6.
+
+Note: the ambient environment registers a TPU PJRT plugin via sitecustomize
+and pins JAX_PLATFORMS before any conftest runs, so the platform must be
+overridden through jax.config (valid until the first backend is initialized)
+rather than os.environ.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
