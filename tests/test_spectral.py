@@ -1,0 +1,100 @@
+"""GLS tests: reference grid-spec/peak-recovery invariants plus exactness
+checks of the fast path against the direct (fp-exact) path."""
+
+import numpy as np
+import pytest
+
+from periodicity_tpu.core import TSeries
+from periodicity_tpu.spectral import GLS
+
+
+def test_gls_default_frequency_grid():
+    t0 = 2.5
+    ts = 0.1
+    fs = 1 / ts
+    f0 = 1 / t0
+    time = np.arange(0, t0 + ts, ts)
+    signal = TSeries(time)
+    gls = GLS(n=1)
+    ls = gls(signal)
+    freq = np.asarray(ls.frequency)
+    assert sorted(freq) == list(freq)
+    assert freq[0] == pytest.approx(f0 / 2)
+    assert np.round(freq[-1], 6) == fs / 2
+    assert np.max(np.abs(np.diff(freq) - f0)) < 1e-10
+
+
+def test_can_find_periods():
+    sine = TSeries(values=np.sin((np.arange(100) / 100) * 20 * np.pi))
+    gls = GLS()
+    ls = gls(sine)
+    assert float(ls.period_at_highest_peak) == 10.0
+
+
+def test_fast_matches_direct():
+    rng = np.random.default_rng(0)
+    n = 300
+    t = np.sort(rng.uniform(0, 40, n))
+    y = np.sin(2 * np.pi * t / 3.3) + 0.3 * rng.standard_normal(n)
+    err = 0.1 + 0.2 * rng.random(n)
+    sig = TSeries(t, y)
+    p_fast = np.asarray(GLS(method="fast")(sig, err=err).values)
+    p_direct = np.asarray(GLS(method="direct")(sig, err=err).values)
+    # extirpolation approximation error stays small and peaks agree
+    assert np.max(np.abs(p_fast - p_direct)) < 2e-3
+    assert np.argmax(p_fast) == np.argmax(p_direct)
+
+
+def test_direct_matches_naive_gls():
+    """Direct path against a from-scratch Zechmeister-Kurster evaluation."""
+    rng = np.random.default_rng(1)
+    n = 120
+    t = np.sort(rng.uniform(0, 25, n))
+    y = np.cos(2 * np.pi * t / 4.0) + 0.2 * rng.standard_normal(n)
+    err = np.full(n, 0.3)
+    sig = TSeries(t, y)
+    ls = GLS(method="direct")(sig, err=err)
+    freq = np.asarray(ls.frequency)
+    # naive weighted GLS with floating mean, per Zechmeister & Kurster (2009)
+    w = err**-2.0
+    w = w / w.sum()
+    yc = y - np.dot(w, y)
+    powers = []
+    for f in freq:
+        omega = 2 * np.pi * f
+        # solve weighted LSQ for a sin + b cos + c
+        X = np.vstack([np.sin(omega * t), np.cos(omega * t), np.ones_like(t)])
+        W = np.diag(w)
+        theta = np.linalg.solve(X @ W @ X.T, X @ W @ yc)
+        chi2_0 = np.dot(w, yc**2)
+        chi2 = np.dot(w, (yc - theta @ X) ** 2)
+        powers.append((chi2_0 - chi2) / chi2_0)
+    np.testing.assert_allclose(np.asarray(ls.values), powers, rtol=1e-6, atol=1e-9)
+
+
+def test_window_and_model():
+    rng = np.random.default_rng(2)
+    t = np.sort(rng.uniform(0, 30, 200))
+    y = np.sin(2 * np.pi * t / 5.0)
+    sig = TSeries(t, y)
+    gls = GLS()
+    ls = gls(sig)
+    win = gls.window()
+    assert win.size == ls.size
+    f0 = 1 / 5.0
+    fit = gls.model(t, f0)
+    assert np.corrcoef(np.asarray(fit.values), y)[0, 1] > 0.99
+
+
+def test_bootstrap_fap():
+    rng = np.random.default_rng(3)
+    t = np.arange(100.0)
+    y = rng.standard_normal(100)
+    gls = GLS()
+    ls = gls(TSeries(t, y))
+    reps = gls.bootstrap(16, random_seed=0)
+    assert reps.shape == (16,)
+    assert np.all(np.isfinite(reps))
+    # max power of pure noise should not be wildly above the null
+    assert gls.fap(float(ls.amax())) >= 0.0
+    assert gls.fal(0.5) > 0.0
