@@ -1,0 +1,243 @@
+"""Phase-folding period-search estimators (StringLength, PDM, AoV).
+
+TPU-native redesign of the reference's phase module (reference:
+phase.py:18-195). The reference fans out one trial period per process with
+``multiprocessing.Pool`` (phase.py:69-70,183-186); here each scorer is a
+pure per-period kernel ``vmap``-ed over the dense trial grid on device, with
+``lax.map`` chunking to bound memory, and the grid axis shards across chips
+via ``periodicity_tpu.parallel``.
+
+Scorers:
+- StringLength (Dworetsky 1983): fold -> per-period argsort by phase ->
+  wraparound sum of hypot increments (reference phase.py:45-51).
+- PDM (Stellingwerf 1978): overlapping-bin pooled variance over folded
+  phases. The reference sorts per period; sorting is unnecessary for the
+  statistic, so the TPU kernel uses branch-free masked bin reductions
+  (O(nb*nc*N) elementwise, no data movement) — better suited to the VPU.
+- AoV (Schwarzenberg-Czerny 1989): one-way analysis of variance over phase
+  bins; the reference lists it as a TODO (phase.py:11), implemented here as
+  a first-class scorer since it shares the segmented-reduction shape.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import FSeries, TSeries
+
+__all__ = [
+    "StringLength",
+    "PDM",
+    "AoV",
+    "string_length_scan",
+    "pdm_scan",
+    "aov_scan",
+]
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def string_length_scan(t, m, periods, batch_size=128):
+    """String lengths for each trial period.
+
+    t: [N] times; m: [N] values scaled to [-0.25, 0.25]; periods: [P].
+    Returns [P] string lengths.
+    """
+    t = jnp.asarray(t)
+    m = jnp.asarray(m)
+
+    def one(period):
+        phi = (t / period) % 1.0
+        order = jnp.argsort(phi)
+        phi_s = phi[order]
+        m_s = m[order]
+        dm = jnp.roll(m_s, -1) - m_s
+        dphi = jnp.roll(phi_s, -1) - phi_s
+        return jnp.sum(jnp.hypot(dm, dphi))
+
+    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+@partial(jax.jit, static_argnames=("nb", "nc", "batch_size"))
+def pdm_scan(t, x, periods, nb=5, nc=2, batch_size=128):
+    """PDM theta statistic for each trial period (reference phase.py:128-149).
+
+    Branch-free: for each of the m0 = nb*nc overlapping covers, bin
+    membership is a phase-interval predicate (including wraparound), and the
+    pooled variance uses masked sum/sumsq reductions. Bins with fewer than 2
+    samples are dropped from the pooled estimate, matching the reference.
+    """
+    t = jnp.asarray(t)
+    x = jnp.asarray(x)
+    m0 = nb * nc
+    n = x.shape[0]
+    sigma = jnp.nanvar(x) * n / (n - 1)  # ddof=1
+
+    ks = jnp.arange(m0, dtype=t.dtype)
+
+    def one(period):
+        phi = (t / period) % 1.0
+        lo = ks[:, None] / m0
+        hi = (ks[:, None] + nc) / m0
+        wrap = (ks[:, None] - (m0 - nc)) / m0
+        mask = ((phi[None, :] >= lo) & (phi[None, :] < hi)) | (phi[None, :] < wrap)
+        nj = jnp.sum(mask, axis=1)
+        sj_sum = jnp.sum(jnp.where(mask, x[None, :], 0.0), axis=1)
+        sj_sq = jnp.sum(jnp.where(mask, x[None, :] ** 2, 0.0), axis=1)
+        good = nj > 1
+        njf = jnp.where(good, nj, 2)
+        ss_within = sj_sq - sj_sum**2 / njf  # (nj-1) * sample variance
+        ss_within = jnp.where(good, ss_within, 0.0)
+        num = jnp.sum(ss_within)
+        den = jnp.sum(jnp.where(good, nj, 0)) - jnp.sum(good)
+        return (num / den) / sigma
+
+    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+@partial(jax.jit, static_argnames=("nb", "batch_size"))
+def aov_scan(t, x, periods, nb=9, batch_size=128):
+    """Analysis-of-Variance periodogram (Schwarzenberg-Czerny 1989).
+
+    AoV statistic = between-bin variance / within-bin variance (one-way
+    ANOVA F over nb phase bins). Large values indicate a good period.
+    """
+    t = jnp.asarray(t)
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    xbar = jnp.mean(x)
+
+    def one(period):
+        phi = (t / period) % 1.0
+        b = jnp.clip((phi * nb).astype(jnp.int32), 0, nb - 1)
+        nj = jnp.zeros(nb, x.dtype).at[b].add(1.0)
+        sj = jnp.zeros(nb, x.dtype).at[b].add(x)
+        sq = jnp.zeros(nb, x.dtype).at[b].add(x * x)
+        good = nj > 0
+        njf = jnp.where(good, nj, 1.0)
+        mj = sj / njf
+        s1 = jnp.sum(jnp.where(good, nj * (mj - xbar) ** 2, 0.0))
+        s2 = jnp.sum(jnp.where(good, sq - nj * mj**2, 0.0))
+        r = jnp.sum(good)
+        return (s1 / (r - 1)) / (s2 / (n - r))
+
+    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+class StringLength:
+    """String Length method (Dworetsky 1983; reference phase.py:18-72).
+
+    Parameters
+    ----------
+    dphi: frequency separation factor (x 1/baseline); default 0.1.
+    n_periods: number of trial periods; default 1000.
+    batch_size: on-device chunk size over the period grid (replaces the
+        reference's ``cores`` process count).
+    """
+
+    def __init__(self, dphi=0.1, n_periods=1000, batch_size=128):
+        self.dphi = dphi
+        self.n_periods = n_periods
+        self.batch_size = batch_size
+
+    def __call__(self, signal):
+        if not isinstance(signal, TSeries):
+            signal = TSeries(values=signal)
+        self.signal = signal
+        # scale values to [-0.25, 0.25] (reference phase.py:66)
+        m = (signal - signal.max()) / (2 * (signal.max() - signal.min())) + 0.25
+        df = self.dphi / float(signal.baseline)
+        periods = 1.0 / np.linspace(self.n_periods * df, df, self.n_periods)
+        ell = string_length_scan(
+            signal.time, m.values, periods, batch_size=self.batch_size
+        )
+        self.periodogram = FSeries(1.0 / periods, ell)
+        return self.periodogram
+
+
+class PDM:
+    """Phase Dispersion Minimization (Stellingwerf 1978;
+    reference phase.py:75-195), with optional subharmonic averaging
+    (Stellingwerf 2011)."""
+
+    def __init__(
+        self,
+        nb=5,
+        nc=2,
+        p_min=None,
+        p_max=None,
+        n_periods=1000,
+        oversample=1,
+        do_subharmonic=False,
+        batch_size=128,
+    ):
+        self.nb = nb
+        self.nc = nc
+        self.p_min = p_min
+        self.p_max = p_max
+        self.n_periods = n_periods
+        self.oversample = oversample
+        self.do_subharmonic = do_subharmonic
+        self.batch_size = batch_size
+
+    def __call__(self, signal):
+        if not isinstance(signal, TSeries):
+            signal = TSeries(values=signal)
+        self.signal = signal
+        theta_crit = 1.0 - 11.0 / signal.size**0.8
+        t0 = float(signal.baseline)
+        p_min = 2 * float(signal.median_dt) if self.p_min is None else self.p_min
+        p_max = self.oversample * t0 if self.p_max is None else self.p_max
+        if self.n_periods is None:
+            n_periods = int((1 / p_min - 1 / p_max) * self.oversample * t0 + 1)
+        else:
+            n_periods = self.n_periods
+        self.periods = np.linspace(p_min, p_max, n_periods)
+        dp = self.periods[1] - self.periods[0]
+        thetas = np.array(
+            pdm_scan(
+                signal.time, signal.values, self.periods,
+                nb=self.nb, nc=self.nc, batch_size=self.batch_size,
+            )
+        )
+        if self.do_subharmonic:
+            # average theta(P) with theta(2P) where significant
+            # (reference phase.py:188-193)
+            (can_average,) = np.where(
+                (thetas < theta_crit) & (self.periods <= p_max / 2)
+            )
+            sub_indices = np.round(2 * can_average + p_min / dp).astype(int)
+            thetas[can_average] = (thetas[can_average] + thetas[sub_indices]) / 2
+        self.periodogram = FSeries(1.0 / self.periods, thetas)
+        return self.periodogram
+
+
+class AoV:
+    """Analysis-of-Variance period search (Schwarzenberg-Czerny 1989).
+
+    The reference only lists this as a TODO (phase.py:11); provided here as
+    a first-class estimator with the same configured-callable surface.
+    Returns an FSeries of the AoV F-statistic (peaks = candidate periods).
+    """
+
+    def __init__(self, nb=9, p_min=None, p_max=None, n_periods=1000, batch_size=128):
+        self.nb = nb
+        self.p_min = p_min
+        self.p_max = p_max
+        self.n_periods = n_periods
+        self.batch_size = batch_size
+
+    def __call__(self, signal):
+        if not isinstance(signal, TSeries):
+            signal = TSeries(values=signal)
+        self.signal = signal
+        p_min = 2 * float(signal.median_dt) if self.p_min is None else self.p_min
+        p_max = float(signal.baseline) if self.p_max is None else self.p_max
+        self.periods = np.linspace(p_min, p_max, self.n_periods)
+        f = aov_scan(
+            signal.time, signal.values, self.periods,
+            nb=self.nb, batch_size=self.batch_size,
+        )
+        self.periodogram = FSeries(1.0 / self.periods, f)
+        return self.periodogram
