@@ -1,0 +1,33 @@
+"""Gaussian-process period inference (celerite scan solver, dense QP GP,
+on-device ensemble MCMC, period priors)."""
+
+from .mcmc import autocorr_time, run_ensemble
+from .modelers import (
+    BrownianGP,
+    CeleriteModeler,
+    GeorgeModeler,
+    HarmonicGP,
+    QuasiPeriodicGP,
+)
+from .priors import make_gaussian_prior, make_ppf
+from .solver import GaussianProcess, log_likelihood
+from .terms import BrownianTerm, RotationTerm, SHOTerm, Term, TermSum
+
+__all__ = [
+    "GeorgeModeler",
+    "CeleriteModeler",
+    "QuasiPeriodicGP",
+    "BrownianGP",
+    "HarmonicGP",
+    "make_gaussian_prior",
+    "make_ppf",
+    "GaussianProcess",
+    "log_likelihood",
+    "SHOTerm",
+    "RotationTerm",
+    "BrownianTerm",
+    "Term",
+    "TermSum",
+    "run_ensemble",
+    "autocorr_time",
+]

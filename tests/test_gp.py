@@ -1,0 +1,159 @@
+"""GP tests: solver-vs-dense parity, reference SpottedStar thresholds
+(MLE NLL, MCMC median periods, gaussian-prior shape)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from periodicity_tpu.core import TSeries
+from periodicity_tpu.data import SpottedStar
+from periodicity_tpu.gp import (
+    BrownianGP,
+    BrownianTerm,
+    GaussianProcess,
+    HarmonicGP,
+    QuasiPeriodicGP,
+    RotationTerm,
+    SHOTerm,
+    make_gaussian_prior,
+    make_ppf,
+)
+
+
+@pytest.fixture(scope="module")
+def spotted():
+    t, y, dy = SpottedStar()
+    return TSeries(t, y), dy
+
+
+def test_celerite_solver_matches_dense_cholesky():
+    rng = np.random.default_rng(0)
+    n = 257
+    t = np.sort(rng.uniform(0, 50, n))
+    y = rng.standard_normal(n)
+    diag = 0.05 + 0.1 * rng.random(n)
+    for term in [
+        SHOTerm(S0=1.3, w0=2.1, Q=3.0),
+        SHOTerm(S0=0.7, w0=1.1, Q=0.01),
+        RotationTerm(sigma=1.2, period=7.0, Q0=2.0, dQ=1.0, f=0.4),
+        BrownianTerm(1.1, 20.0, 9.0, 0.3),
+        SHOTerm(S0=1.0, w0=1.0, Q=4.0) + SHOTerm(S0=0.5, w0=0.3, Q=0.2),
+    ]:
+        gp = GaussianProcess(term).compute(t, diag=diag)
+        K = np.asarray(gp.dense_cov())
+        _, logdet = np.linalg.slogdet(K)
+        ll_ref = -0.5 * (y @ np.linalg.solve(K, y) + logdet + n * np.log(2 * np.pi))
+        np.testing.assert_allclose(float(gp.log_likelihood(y)), ll_ref, rtol=1e-9)
+
+
+def test_solver_gradients_match_finite_differences():
+    rng = np.random.default_rng(1)
+    n = 100
+    t = np.sort(rng.uniform(0, 20, n))
+    y = rng.standard_normal(n)
+    from periodicity_tpu.gp import log_likelihood
+
+    def f(lw0):
+        return log_likelihood(
+            SHOTerm(S0=1.0, w0=jnp.exp(lw0), Q=3.0), t, jnp.full(n, 0.1), y
+        )
+
+    g = float(jax.grad(f)(jnp.asarray(0.3)))
+    eps = 1e-6
+    fd = (float(f(0.3 + eps)) - float(f(0.3 - eps))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=1e-5)
+
+
+def test_sho_psd_and_kernel_value():
+    term = SHOTerm(S0=2.0, w0=1.5, Q=3.0)
+    w = np.linspace(0.01, 5, 50)
+    psd = np.asarray(term.get_psd(w))
+    ref = np.sqrt(2 / np.pi) * 2.0 * 1.5**4 / ((w**2 - 1.5**2) ** 2 + 1.5**2 * w**2 / 9.0)
+    np.testing.assert_allclose(psd, ref, rtol=1e-12)
+    # k(tau) from coefficients == closed-form underdamped SHO covariance
+    tau = np.linspace(0, 10, 30)
+    eta = np.sqrt(1 - 1 / (4 * 3.0**2))
+    ref_k = (
+        2.0 * 1.5 * 3.0
+        * np.exp(-1.5 * tau / (2 * 3.0))
+        * (np.cos(eta * 1.5 * tau) + np.sin(eta * 1.5 * tau) / (2 * eta * 3.0))
+    )
+    np.testing.assert_allclose(np.asarray(term.get_value(tau)), ref_k, rtol=1e-10)
+
+
+def test_make_gaussian_prior_spotted_lc(spotted):
+    """Reference tests/test_gp.py:8-21 (exact bin + peak count)."""
+    sig, dy = spotted
+    log_periods = np.linspace(-3, 5, 1000)
+    prior = make_gaussian_prior(sig)
+    prior_prob = prior(log_periods)
+    assert prior_prob.argmax() == 671
+    peaks = [
+        i
+        for i in range(1, len(log_periods) - 1)
+        if prior_prob[i - 1] < prior_prob[i] and prior_prob[i + 1] < prior_prob[i]
+    ]
+    assert len(peaks) == 7
+
+
+def test_make_ppf_roundtrip():
+    x = np.linspace(-5, 5, 1001)
+    pdf = np.exp(-0.5 * x**2)
+    ppf = make_ppf(x, pdf)
+    assert ppf(0.5) == pytest.approx(0.0, abs=0.02)
+    assert ppf(0.8413) == pytest.approx(1.0, abs=0.05)
+
+
+def test_browniangp_spotted_lc_minimize(spotted):
+    """Reference tests/test_gp.py:24-31 threshold."""
+    sig, dy = spotted
+    model = BrownianGP(sig, err=dy)
+    soln, _ = model.minimize(model.gp)
+    assert soln.fun < -12890
+    assert np.all(np.logical_and(soln.x <= 99.99, soln.x >= 0.01))
+
+
+def test_harmonicgp_spotted_lc_minimize(spotted):
+    """Reference tests/test_gp.py:33-40 threshold."""
+    sig, dy = spotted
+    model = HarmonicGP(sig, err=dy)
+    soln, _ = model.minimize(model.gp)
+    assert soln.fun < -13180
+    assert np.all(np.logical_and(soln.x <= 99.99, soln.x >= 0.01))
+
+
+def test_browniangp_spotted_lc_mcmc(spotted):
+    """Reference tests/test_gp.py:42-49 statistical outcome."""
+    sig, dy = spotted
+    model = BrownianGP(sig, err=dy)
+    trace, tau = model.mcmc(n_walkers=16, n_steps=1000, burn=200, random_seed=42)
+    assert trace["period"].shape == (16 * (1000 - 200),)
+    assert np.round(np.median(trace["period"]), 0) == 10.0
+
+
+def test_harmonicgp_spotted_lc_mcmc(spotted):
+    """Reference tests/test_gp.py:51-58 statistical outcome."""
+    sig, dy = spotted
+    model = HarmonicGP(sig, err=dy)
+    trace, tau = model.mcmc(n_walkers=16, n_steps=1000, burn=200, random_seed=42)
+    assert trace["period"].shape == (16 * (1000 - 200),)
+    assert np.round(np.median(trace["period"]), 0) == 11.0
+
+
+def test_qpgp_dense_gp_likelihood_and_prior():
+    rng = np.random.default_rng(42)
+    n = 120
+    t = np.linspace(0, 10, n)
+    y = np.sin(np.pi * t) + 0.1 * rng.standard_normal(n)
+    yerr = np.full(n, 0.1)
+    model = QuasiPeriodicGP(TSeries(t, y), yerr)
+    nll0 = model.nll(model.theta0)
+    assert np.isfinite(nll0)
+    lp = model.log_prob(np.asarray(model.theta0))
+    assert np.isfinite(lp) or lp == -np.inf
+    soln, _ = model.minimize()
+    assert soln.fun <= nll0
+    mu, sd = model.predict(soln.x, t[:10])
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.asarray(sd) >= 0)
