@@ -37,17 +37,28 @@ def main():
     yj = jnp.asarray(y)
     ej = jnp.asarray(err)
 
-    fn = jax.jit(lambda a, b, c: gls_power(a, b, c, df, fmin, nf))
-    # warmup/compile
-    fn(tj, yj, ej).block_until_ready()
+    # measure pure on-device time: K chained periodograms inside one jit
+    # (each iteration's input depends on the previous output, so nothing can
+    # be cached or overlapped with host transfers), then one scalar readback
+    k_iters = 20
+
+    @jax.jit
+    def loop(y):
+        def body(_, carry):
+            y, acc = carry
+            p = gls_power(tj, y, ej, df, fmin, nf)
+            return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
+
+        return jax.lax.fori_loop(0, k_iters, body, (y, jnp.float32(0.0)))[1]
+
+    loop(yj).block_until_ready()  # compile
     times = []
-    for i in range(5):
-        # vary the input each run so no layer can serve a cached result
-        yi = yj + np.float32(1e-4 * (i + 1))
+    for i in range(3):
+        yi = yj + np.float32(1e-5 * (i + 1))
         yi.block_until_ready()
         t0 = time.perf_counter()
-        fn(tj, yi, ej).block_until_ready()
-        times.append(time.perf_counter() - t0)
+        float(loop(yi))
+        times.append((time.perf_counter() - t0) / k_iters)
     dt = float(np.median(times))
     freqs_per_sec = nf / dt
     print(

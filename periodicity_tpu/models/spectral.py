@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import FSeries, TSeries
-from ..ops.trig_sum import trig_sum
+from ..ops.trig_sum import gls_trig_sums, trig_sum
 
 __all__ = ["GLS", "BGLST", "gls_power", "default_frequency_grid"]
 
@@ -57,8 +57,13 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
         y = y - jnp.dot(w, y)
 
     if method == "fast":
-        def ts(wi, dfi, fmini):
-            return trig_sum(t, wi, dfi, nf, fmini)
+        # three separate extirpolation+FFT kernels: measured faster on TPU
+        # than a batched [3, nfft] variant (scatter into 2D operands lowers
+        # poorly); see ops/trig_sum.gls_trig_sums for the fused alternative
+        Sh, Ch = trig_sum(t, w * y, df, nf, fmin)
+        S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin)
+        if fit_mean:
+            S, C = trig_sum(t, w, df, nf, fmin)
     else:
         freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
 
@@ -70,10 +75,11 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
             C = jnp.cos(ph) @ wi
             return S, C
 
-    Sh, Ch = ts(w * y, df, fmin)
-    S2, C2 = ts(w, 2 * df, 2 * fmin)
+        Sh, Ch = ts(w * y, df, fmin)
+        S2, C2 = ts(w, 2 * df, 2 * fmin)
+        if fit_mean:
+            S, C = ts(w, df, fmin)
     if fit_mean:
-        S, C = ts(w, df, fmin)
         tan_2omega_tau = (S2 - 2 * S * C) / (C2 - (C * C - S * S))
     else:
         tan_2omega_tau = S2 / C2
