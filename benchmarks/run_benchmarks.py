@@ -1,0 +1,232 @@
+"""Full benchmark suite: the five configs of record from BASELINE.md.
+
+Usage: python benchmarks/run_benchmarks.py [--configs 1,2,3,4,5]
+Each config prints one JSON line; timings are pure on-device (chained
+iterations inside one jit where the computation allows it).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _sync_time(fn, reps=3):
+    import jax
+
+    fn()  # warmup/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def config1_gls():
+    """GLS of synthetic sinusoid+noise, N=1e4 (BASELINE config 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.spectral import gls_power
+
+    n = 10_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100.0, n)).astype(np.float32)
+    y = (np.sin(2 * np.pi * t / 7.7) + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    err = np.full(n, 0.3, np.float32)
+    df = np.float32(1.0 / (100.0 * 5))
+    fmin = np.float32(df / 2)
+    nf = int((0.5 * n / 100.0) / df)
+    tj, yj, ej = jnp.asarray(t), jnp.asarray(y), jnp.asarray(err)
+    k = 50
+
+    @jax.jit
+    def loop(y):
+        def body(_, carry):
+            y, acc = carry
+            p = gls_power(tj, y, ej, df, fmin, nf)
+            return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
+
+        return jax.lax.fori_loop(0, k, body, (y, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(yj))) / k
+    return {
+        "metric": "gls_periodograms_per_sec_N1e4",
+        "value": 1.0 / dt,
+        "unit": "periodograms/sec",
+        "detail": {"nf": nf, "ms_per_call": dt * 1e3},
+    }
+
+
+def config2_acf():
+    """FFT ACF + smoothing on a Kepler-like light curve (config 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.data import SpottedStar
+    from periodicity_tpu.ops.filters import boxcar_kernel1d, convolve1d
+
+    t, y, dy = SpottedStar()
+    n = len(y)
+    yj = jnp.asarray(y.astype(np.float32))
+    k = 100
+    kern = boxcar_kernel1d(5, dtype=jnp.float32)
+
+    @jax.jit
+    def loop(y0):
+        def body(_, carry):
+            y, acc = carry
+            yc = y - jnp.mean(y)
+            ps = jnp.abs(jnp.fft.rfft(yc, n=2 * n)) ** 2
+            r = jnp.fft.irfft(ps)[:n]
+            r = r / r[0]
+            r = convolve1d(r, kern)
+            return (y + r * 1e-9, acc + r[1])
+
+        return jax.lax.fori_loop(0, k, body, (y0, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(yj))) / k
+    return {
+        "metric": "fft_acf_smooth_per_sec_N2148",
+        "value": 1.0 / dt,
+        "unit": "acfs/sec",
+        "detail": {"ms_per_call": dt * 1e3},
+    }
+
+
+def config3_wps():
+    """Morlet WPS + GWPS composite + HHT-style batched CWT (config 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.ops.wavelet import cwt_morlet
+
+    n, n_scales = 4096, 64
+    rng = np.random.default_rng(0)
+    y = (np.sin(2 * np.pi * np.arange(n) / 64.0) + 0.2 * rng.standard_normal(n)).astype(
+        np.float32
+    )
+    scales = np.geomspace(8, 512, n_scales).astype(np.float32)
+    yj = jnp.asarray(y)
+    k = 20
+
+    @jax.jit
+    def loop(y0):
+        def body(_, carry):
+            y, acc = carry
+            co = cwt_morlet(y - jnp.mean(y), scales)
+            p = jnp.abs(co) ** 2 / scales[:, None]
+            g = jnp.mean(p, axis=1)
+            return (y + g[:1] * 1e-9, acc + g[0])
+
+        return jax.lax.fori_loop(0, k, body, (y0, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(yj))) / k
+    return {
+        "metric": "morlet_wps_per_sec_N4096x64",
+        "value": 1.0 / dt,
+        "unit": "spectra/sec",
+        "detail": {"ms_per_call": dt * 1e3},
+    }
+
+
+def config4_phase():
+    """StringLength + PDM over 1e5 trial periods (config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.phase import pdm_scan, string_length_scan
+
+    n, n_periods = 2000, 100_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 200.0, n)).astype(np.float32)
+    y = (np.sin(2 * np.pi * t / 7.7) + 0.2 * rng.standard_normal(n)).astype(np.float32)
+    periods = np.linspace(0.5, 100.0, n_periods).astype(np.float32)
+    tj, yj, pj = jnp.asarray(t), jnp.asarray(y), jnp.asarray(periods)
+
+    pdm_fn = lambda: jax.block_until_ready(pdm_scan(tj, yj, pj, batch_size=512))
+    sl_fn = lambda: jax.block_until_ready(
+        string_length_scan(tj, yj, pj, batch_size=512)
+    )
+    dt_pdm = _sync_time(pdm_fn)
+    dt_sl = _sync_time(sl_fn)
+    return {
+        "metric": "pdm_trial_periods_per_sec_N2000",
+        "value": n_periods / dt_pdm,
+        "unit": "periods/sec",
+        "detail": {
+            "pdm_sec": dt_pdm,
+            "stringlength_sec": dt_sl,
+            "stringlength_periods_per_sec": n_periods / dt_sl,
+        },
+    }
+
+
+def config5_gp():
+    """SHO-kernel GP log-likelihood evals/sec, vmapped walkers (config 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.data import SpottedStar
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm
+
+    t, y, dy = SpottedStar()
+    tj = jnp.asarray(t)
+    yj = jnp.asarray(y - y.mean())
+    diag = jnp.asarray(dy**2)
+    n_walkers = 64
+    rng = np.random.default_rng(0)
+    walkers = jnp.asarray(rng.uniform(0.8, 1.2, (n_walkers, 4)))
+    k = 10
+
+    @jax.jit
+    def loop(ws):
+        def body(_, carry):
+            ws, acc = carry
+
+            def one(w):
+                term = BrownianTerm(0.01 * w[0], 20.0 * w[1], 10.0 * w[2], 0.3 * w[3])
+                return log_likelihood(term, tj, diag, yj)
+
+            lls = jax.vmap(one)(ws)
+            return (ws + lls[:, None] * 1e-12, acc + lls[0])
+
+        return jax.lax.fori_loop(0, k, body, (ws, jnp.float64(0) if ws.dtype == jnp.float64 else jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(walkers))) / k
+    evals_per_sec = n_walkers / dt
+    return {
+        "metric": "celerite_logL_evals_per_sec_N2148",
+        "value": evals_per_sec,
+        "unit": "evals/sec",
+        "detail": {"n_walkers": n_walkers, "ms_per_batch": dt * 1e3},
+    }
+
+
+CONFIGS = {
+    1: config1_gls,
+    2: config2_acf,
+    3: config3_wps,
+    4: config4_phase,
+    5: config5_gp,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    for c in [int(x) for x in args.configs.split(",")]:
+        result = CONFIGS[c]()
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
