@@ -10,6 +10,7 @@ from .modelers import (
     QuasiPeriodicGP,
 )
 from .priors import make_gaussian_prior, make_ppf
+from .pscan import log_likelihood_pscan, ssm_matrices
 from .solver import GaussianProcess, log_likelihood
 from .terms import BrownianTerm, RotationTerm, SHOTerm, Term, TermSum
 
@@ -23,6 +24,8 @@ __all__ = [
     "make_ppf",
     "GaussianProcess",
     "log_likelihood",
+    "log_likelihood_pscan",
+    "ssm_matrices",
     "SHOTerm",
     "RotationTerm",
     "BrownianTerm",

@@ -27,6 +27,7 @@ from jax.scipy.special import ndtri
 from ...core import TSeries
 from ...ops.optimize import lbfgs_box
 from . import mcmc as _mcmc
+from .pscan import log_likelihood_pscan
 from .solver import GaussianProcess, log_likelihood
 from .terms import BrownianTerm, RotationTerm
 
@@ -53,9 +54,11 @@ class CeleriteModeler:
     (reference gp.py:340-484). Subclasses define ndim, _kernel(params) and
     prior_transform(u) with u in (0, 100)^ndim."""
 
-    def __init__(self, signal, err, init_period=None, period_ppf=None):
+    def __init__(self, signal, err, init_period=None, period_ppf=None,
+                 solver="scan"):
         if not isinstance(signal, TSeries):
             signal = TSeries(values=signal)
+        self.solver = solver
         self.signal = signal
         self.err = jnp.asarray(err)
         self.t = signal.time
@@ -94,7 +97,8 @@ class CeleriteModeler:
 
     def _nll_u(self, u):
         kernel, mean, jitter = self._build(u)
-        ll = log_likelihood(kernel, self.t, self.err**2 + jitter, self.y - mean)
+        ll_fn = log_likelihood_pscan if self.solver == "pscan" else log_likelihood
+        ll = ll_fn(kernel, self.t, self.err**2 + jitter, self.y - mean)
         return -ll
 
     def _log_prob_u(self, u):
@@ -213,9 +217,10 @@ class CeleriteModeler:
 class BrownianGP(CeleriteModeler):
     """SHO + overdamped-background kernel modeler (reference gp.py:500-517)."""
 
-    def __init__(self, signal, err, init_period=None, period_ppf=None):
+    def __init__(self, signal, err, init_period=None, period_ppf=None,
+                 solver="scan"):
         self.ndim = 6
-        super().__init__(signal, err, init_period, period_ppf)
+        super().__init__(signal, err, init_period, period_ppf, solver)
 
     def _kernel(self, sigma, tau, period, mix):
         return BrownianTerm(sigma, tau, period, mix)
@@ -236,9 +241,10 @@ class BrownianGP(CeleriteModeler):
 class HarmonicGP(CeleriteModeler):
     """RotationTerm kernel modeler (reference gp.py:520-538)."""
 
-    def __init__(self, signal, err, init_period=None, period_ppf=None):
+    def __init__(self, signal, err, init_period=None, period_ppf=None,
+                 solver="scan"):
         self.ndim = 7
-        super().__init__(signal, err, init_period, period_ppf)
+        super().__init__(signal, err, init_period, period_ppf, solver)
 
     def _kernel(self, sigma, period, Q0, dQ, f):
         return RotationTerm(sigma=sigma, period=period, Q0=Q0, dQ=dQ, f=f)

@@ -157,3 +157,34 @@ def test_qpgp_dense_gp_likelihood_and_prior():
     mu, sd = model.predict(soln.x, t[:10])
     assert np.all(np.isfinite(np.asarray(mu)))
     assert np.all(np.asarray(sd) >= 0)
+
+
+def test_pscan_likelihood_matches_sequential_solver():
+    """Parallel associative-scan Kalman likelihood == sequential celerite
+    scan == dense Cholesky, for all SHO-family terms."""
+    from periodicity_tpu.gp import log_likelihood
+    from periodicity_tpu.models.gp.pscan import log_likelihood_pscan
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = np.sort(rng.uniform(0, 80, n))
+    y = rng.standard_normal(n)
+    diag = 0.05 + 0.1 * rng.random(n)
+    for term in [
+        SHOTerm(S0=1.3, w0=2.1, Q=3.0),
+        SHOTerm(S0=0.7, w0=1.1, Q=0.01),
+        RotationTerm(sigma=1.2, period=7.0, Q0=2.0, dQ=1.0, f=0.4),
+        BrownianTerm(1.1, 20.0, 9.0, 0.3),
+    ]:
+        a = float(log_likelihood(term, t, diag, y))
+        b = float(log_likelihood_pscan(term, t, diag, y))
+        assert a == pytest.approx(b, rel=1e-10)
+
+
+def test_pscan_modeler_path(spotted):
+    """BrownianGP with solver='pscan' gives the same NLL surface."""
+    sig, dy = spotted
+    m_scan = BrownianGP(sig, err=dy, solver="scan")
+    m_pscan = BrownianGP(sig, err=dy, solver="pscan")
+    u = np.full(6, 50.0)
+    assert m_scan.nll(u) == pytest.approx(m_pscan.nll(u), rel=1e-8)
