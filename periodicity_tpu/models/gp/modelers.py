@@ -382,6 +382,19 @@ class GeorgeModeler:
         var = self._kernel_value(theta, jnp.zeros(1))[0] - jnp.sum(Ks * v.T, axis=1)
         return mu, jnp.sqrt(var)
 
+    def get_prediction(self, time, theta=None):
+        """Conditional mean and sd at new times (reference gp.py:213-216)."""
+        if theta is None:
+            theta = self.theta0
+        mu, sd = self.predict(theta, time, return_var=True)
+        return mu, sd
+
+    def get_kernel(self, tau, theta=None):
+        """Kernel values at lags tau (reference gp.py:218-219)."""
+        if theta is None:
+            theta = self.theta0
+        return self._kernel_value(jnp.asarray(theta), jnp.asarray(tau))
+
     def mcmc(self, n_walkers=50, n_steps=1000, burn=0, random_seed=None):
         key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
         k_init, k_run = jax.random.split(key)
