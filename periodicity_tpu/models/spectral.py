@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..core import FSeries, TSeries
 from ..ops.trig_sum import gls_trig_sums, trig_sum
 
-__all__ = ["GLS", "BGLST", "gls_power", "default_frequency_grid"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
 
 
 def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
@@ -101,6 +101,25 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
     else:
         power = power / YY
     return power
+
+
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size"))
+def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
+                    method="fast", batch_size=8):
+    """Batched GLS over many light curves sharing one time grid.
+
+    ys, errs: [B, N]. Returns power [B, nf]. The batch axis vmaps over the
+    extirpolation+FFT kernel (batched TPU FFTs); shard the leading axis
+    over a mesh for multi-chip batches (SURVEY §2.2 "batch parallelism
+    over many light curves").
+    """
+    def one(args):
+        y, e = args
+        return gls_power(t, y, e, df, fmin, nf,
+                         fit_mean=fit_mean, psd=psd, method=method)
+
+    return jax.lax.map(one, (jnp.asarray(ys), jnp.asarray(errs)),
+                       batch_size=batch_size)
 
 
 @partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps"))
@@ -208,8 +227,64 @@ class GLS:
         return TSeries(tf, yf)
 
 
-class BGLST:
-    """Bayesian GLS with trend — declared-but-unimplemented in the reference
-    (spectral.py:207-208); kept for API parity."""
+@partial(jax.jit, static_argnames=("nf",))
+def bglst_log_ml(t, y, w, df, fmin, nf):
+    """Bayesian GLS with linear trend: log marginal likelihood per frequency.
 
-    pass
+    Model per trial frequency f: y_i = a cos(2 pi f t_i) + b sin(2 pi f t_i)
+    + alpha t_i + beta + noise_i, noise_i ~ N(0, 1/w_i), with flat priors on
+    (a, b, alpha, beta) (Mortier et al. 2015 extended with a trend term,
+    after Olspert et al. 2018 "BGLST"). With flat priors the marginal
+    likelihood is available in closed form from the weighted normal
+    equations; vmapped over the frequency grid (each solve is a tiny 4x4
+    system -> batched on the MXU).
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    w = jnp.asarray(w)
+    freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
+
+    def one(f):
+        ph = 2 * jnp.pi * f * t
+        X = jnp.stack([jnp.cos(ph), jnp.sin(ph), t, jnp.ones_like(t)], axis=1)
+        Xw = X * w[:, None]
+        G = X.T @ Xw  # [4, 4]
+        bvec = Xw.T @ y
+        theta = jnp.linalg.solve(G, bvec)
+        chi2 = jnp.dot(w, y**2) - bvec @ theta
+        sign, logdet = jnp.linalg.slogdet(G)
+        return -0.5 * chi2 - 0.5 * logdet
+
+    return jax.lax.map(one, freqs, batch_size=256)
+
+
+class BGLST:
+    """Bayesian Generalized Lomb-Scargle with trend (Olspert et al. 2018).
+
+    The reference declares this class but leaves it empty
+    (spectral.py:207-208, README "soon"). Implemented here natively:
+    closed-form log marginal likelihood of a sinusoid + linear trend under
+    flat parameter priors, evaluated on the GLS default grid.
+
+    Returns an FSeries of log marginal likelihood (up to a constant);
+    its maximum marks the most probable period, robust against secular
+    trends that bias plain GLS.
+    """
+
+    def __init__(self, fmin=None, fmax=None, n=5):
+        self.fmin = fmin
+        self.fmax = fmax
+        self.n = n
+
+    def __call__(self, signal, err=None):
+        if not isinstance(signal, TSeries):
+            signal = TSeries(values=signal)
+        freq, df, fmin = default_frequency_grid(signal, self.fmin, self.fmax, self.n)
+        if err is None:
+            err = np.ones_like(np.asarray(signal.values))
+        w = jnp.asarray(err) ** -2.0
+        logml = bglst_log_ml(signal.time, signal.values, w, df, fmin, freq.size)
+        self.signal = signal
+        self.frequency = freq
+        self.periodogram = FSeries(freq, logml, assume_sorted=True)
+        return self.periodogram

@@ -1,5 +1,23 @@
 """Alias module mirroring the reference's import path."""
 
-from .models.phase import AoV, PDM, StringLength, aov_scan, pdm_scan, string_length_scan
+from .models.phase import (
+    AoV,
+    ConditionalEntropy,
+    PDM,
+    StringLength,
+    aov_scan,
+    conditional_entropy_scan,
+    pdm_scan,
+    string_length_scan,
+)
 
-__all__ = ["StringLength", "PDM", "AoV", "string_length_scan", "pdm_scan", "aov_scan"]
+__all__ = [
+    "StringLength",
+    "PDM",
+    "AoV",
+    "ConditionalEntropy",
+    "string_length_scan",
+    "pdm_scan",
+    "aov_scan",
+    "conditional_entropy_scan",
+]

@@ -1,6 +1,13 @@
 """Alias module mirroring the reference's import path
 (``periodicity.spectral`` -> ``periodicity_tpu.spectral``)."""
 
-from .models.spectral import BGLST, GLS, default_frequency_grid, gls_power
+from .models.spectral import (
+    BGLST,
+    GLS,
+    bglst_log_ml,
+    default_frequency_grid,
+    gls_power,
+    gls_power_batch,
+)
 
-__all__ = ["GLS", "BGLST", "gls_power", "default_frequency_grid"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]

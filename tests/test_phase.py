@@ -94,3 +94,13 @@ def test_aov_finds_period():
     f = aov(TSeries(t, y))
     best = float(np.asarray(f.period)[np.argmax(np.asarray(f.values))])
     assert best == pytest.approx(7.3, abs=0.1)
+
+
+def test_conditional_entropy_finds_period():
+    from periodicity_tpu.phase import ConditionalEntropy
+
+    t, y = _sine(n=800, noise=0.05)
+    ce = ConditionalEntropy(p_min=2.0, p_max=12.0, n_periods=2000)
+    h = ce(TSeries(t, y))
+    best = float(np.asarray(h.period)[np.argmin(np.asarray(h.values))])
+    assert best == pytest.approx(7.3, abs=0.1)

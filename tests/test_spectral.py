@@ -98,3 +98,32 @@ def test_bootstrap_fap():
     # max power of pure noise should not be wildly above the null
     assert gls.fap(float(ls.amax())) >= 0.0
     assert gls.fal(0.5) > 0.0
+
+
+def test_bglst_recovers_period_with_trend():
+    """BGLST stays on target in the presence of a secular linear trend."""
+    from periodicity_tpu.spectral import BGLST
+
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.uniform(0, 60, 400))
+    y = np.sin(2 * np.pi * t / 6.1) + 0.05 * t + 0.2 * rng.standard_normal(400)
+    sig = TSeries(t, y)
+    bg = BGLST()(sig, err=np.full(400, 0.2))
+    f = np.asarray(bg.frequency)
+    best = 1.0 / f[int(np.argmax(np.asarray(bg.values)))]
+    assert best == pytest.approx(6.1, abs=0.1)
+
+
+def test_gls_power_batch_matches_loop():
+    from periodicity_tpu.spectral import gls_power, gls_power_batch
+
+    rng = np.random.default_rng(6)
+    n, b = 200, 5
+    t = np.sort(rng.uniform(0, 30, n))
+    ys = np.stack([np.sin(2 * np.pi * t / p) for p in [3.0, 4.5, 6.0, 7.5, 9.0]])
+    errs = np.full((b, n), 0.2)
+    df, fmin, nf = 0.005, 0.0025, 1024
+    batch = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf))
+    for i in range(b):
+        single = np.asarray(gls_power(t, ys[i], errs[i], df, fmin, nf))
+        np.testing.assert_allclose(batch[i], single, rtol=1e-10)
