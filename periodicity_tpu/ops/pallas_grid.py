@@ -85,8 +85,9 @@ def _kernel(starts_ref, ends_ref, ilo_ref, vre_ref, vim_ref,
     jax.lax.while_loop(lambda c: c < e, body, chunk0)
 
 
-@partial(jax.jit, static_argnames=("nfft", "tile", "cap", "interpret"))
-def extirpolate_grid(ilo, vals, nfft, tile=512, cap=32, interpret=False):
+@partial(jax.jit, static_argnames=("nfft", "tile", "cap", "interpret", "as_complex"))
+def extirpolate_grid(ilo, vals, nfft, tile=512, cap=32, interpret=False,
+                     as_complex=True):
     """Spread vals [N, 4] (complex) at bases ilo [N] (sorted int32) onto a
     complex grid of length nfft: grid[ilo[p] + j] += vals[p, j].
 
@@ -131,4 +132,6 @@ def extirpolate_grid(ilo, vals, nfft, tile=512, cap=32, interpret=False):
         ],
         interpret=interpret,
     )(starts, ends, ilo, vre, vim)
+    if not as_complex:
+        return out_re.reshape(-1), out_im.reshape(-1)
     return (out_re.reshape(-1) + 1j * out_im.reshape(-1)).astype(jnp.complex64)
