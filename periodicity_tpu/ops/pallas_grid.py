@@ -10,16 +10,18 @@ indices are *sorted* (time-sorted samples -> monotone grid positions):
 - the contiguous range of points touching each tile is precomputed with two
   searchsorted calls and passed via scalar prefetch
   (PrefetchScalarGridSpec), so each program reads only its own points;
-- within a tile, point contributions accumulate via one-hot matmuls
-  ([1, CAP] @ [CAP, TILE] on the MXU) over fixed-size chunks inside a
-  lax.while_loop — no scatter instruction anywhere.
+- per tile, 1024-aligned windows of the point arrays are loaded from VMEM
+  (Mosaic's 1-D dynamic-load alignment) and statically-unrolled predicated
+  subchunks accumulate via one-hot matmuls ([1, CAP] @ [CAP, TILE] on the
+  MXU) — no scatter instruction anywhere.
 
-Complex values are handled as separate real/imaginary planes.
+Complex tap values travel as eight 1-D planes (re/im x 4 taps): a [N, 4]
+layout would tile-pad the 4-lane dim to 128 (32x VMEM blow-up) and dynamic
+lane-dim slicing of a [4, N] layout is not supported by the Mosaic runtime.
 """
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -31,8 +33,9 @@ __all__ = ["extirpolate_grid"]
 _ALIGN = 1024  # Mosaic 1-D dynamic-load alignment (8 sublanes x 128 lanes)
 
 
-def _kernel(starts_ref, ends_ref, ilo_ref, vre_ref, vim_ref,
-            out_re_ref, out_im_ref, *, tile, cap):
+def _kernel(starts_ref, ends_ref, ilo_ref, *rest, tile, cap):
+    v_refs = rest[:8]  # re0..re3, im0..im3
+    out_re_ref, out_im_ref = rest[8], rest[9]
     b = pl.program_id(0)
     s = starts_ref[b]
     e = ends_ref[b]
@@ -45,11 +48,10 @@ def _kernel(starts_ref, ends_ref, ilo_ref, vre_ref, vim_ref,
     out_im_ref[...] = jnp.zeros((1, tile), jnp.float32)
 
     def body(chunk):
-        # aligned window load (point arrays are padded by >= _ALIGN)
+        # aligned window loads (point arrays are padded by >= _ALIGN)
         chunk = pl.multiple_of(chunk, _ALIGN)
         ilo_w = ilo_ref[pl.ds(chunk, _ALIGN)]
-        vre_w = vre_ref[:, pl.ds(chunk, _ALIGN)]
-        vim_w = vim_ref[:, pl.ds(chunk, _ALIGN)]
+        v_w = [r[pl.ds(chunk, _ALIGN)] for r in v_refs]
 
         for k in range(n_sub):  # static unroll; predicated per subchunk
             lo = k * cap
@@ -57,8 +59,6 @@ def _kernel(starts_ref, ends_ref, ilo_ref, vre_ref, vim_ref,
             @pl.when((chunk + lo < e) & (chunk + lo + cap > s))
             def _(lo=lo):
                 ilo_c = ilo_w[lo : lo + cap]
-                vre_c = vre_w[:, lo : lo + cap]
-                vim_c = vim_w[:, lo : lo + cap]
                 gidx = chunk + lo + sub_iota
                 valid = (gidx >= s) & (gidx < e)
                 off = ilo_c - base_pos  # in [-3, tile) when relevant
@@ -69,11 +69,11 @@ def _kernel(starts_ref, ends_ref, ilo_ref, vre_ref, vim_ref,
                         (iota == (off[:, None] + j)) & valid[:, None]
                     ).astype(jnp.float32)
                     acc_re = acc_re + jnp.dot(
-                        vre_c[j][None, :], onehot,
+                        v_w[j][lo : lo + cap][None, :], onehot,
                         preferred_element_type=jnp.float32,
                     )
                     acc_im = acc_im + jnp.dot(
-                        vim_c[j][None, :], onehot,
+                        v_w[4 + j][lo : lo + cap][None, :], onehot,
                         preferred_element_type=jnp.float32,
                     )
                 out_re_ref[...] += acc_re
@@ -96,28 +96,24 @@ def extirpolate_grid(ilo, vals, nfft, tile=512, cap=32, interpret=False,
     assert nfft % tile == 0
     n_tiles = nfft // tile
     ilo = jnp.asarray(ilo, jnp.int32)
-    # [4, N] layout: a tiny trailing dim of 4 would tile-pad to 128 lanes in
-    # VMEM (32x memory blow-up); rows-of-taps keeps the lane dim long
-    vre = jnp.real(vals).astype(jnp.float32).T
-    vim = jnp.imag(vals).astype(jnp.float32).T
     tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     starts = jnp.searchsorted(ilo, tile_starts - 3, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(ilo, tile_starts + tile, side="left").astype(jnp.int32)
     # sentinel-pad to an _ALIGN boundary + one window so aligned in-kernel
     # loads never clamp
     pad = _ALIGN + (-ilo.shape[0]) % _ALIGN
-    ilo = jnp.concatenate([ilo, jnp.full(pad, nfft + 8, jnp.int32)])
-    vre = jnp.concatenate([vre, jnp.zeros((4, pad), jnp.float32)], axis=1)
-    vim = jnp.concatenate([vim, jnp.zeros((4, pad), jnp.float32)], axis=1)
+    ilo_p = jnp.concatenate([ilo, jnp.full(pad, nfft + 8, jnp.int32)])
+    zpad = jnp.zeros(pad, jnp.float32)
+    planes = []
+    for j in range(4):
+        planes.append(jnp.concatenate([jnp.real(vals[:, j]).astype(jnp.float32), zpad]))
+    for j in range(4):
+        planes.append(jnp.concatenate([jnp.imag(vals[:, j]).astype(jnp.float32), zpad]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=[
             pl.BlockSpec((1, tile), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
@@ -131,7 +127,7 @@ def extirpolate_grid(ilo, vals, nfft, tile=512, cap=32, interpret=False,
             jax.ShapeDtypeStruct((1, nfft), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, ends, ilo, vre, vim)
+    )(starts, ends, ilo_p, *planes)
     if not as_complex:
         return out_re.reshape(-1), out_im.reshape(-1)
     return (out_re.reshape(-1) + 1j * out_im.reshape(-1)).astype(jnp.complex64)
