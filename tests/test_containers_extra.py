@@ -1,0 +1,162 @@
+"""Extended container coverage: FSeries ranking/FWHM, TFSeries indexing and
+reductions, TSeries fill/pad/fold paths, utils subsystems."""
+
+import os
+
+import numpy as np
+import pytest
+
+from periodicity_tpu.core import FSeries, TFSeries, TSeries
+
+
+def test_fseries_period_coordinate_and_ranking():
+    f = np.linspace(0.1, 2.0, 400)
+    power = np.exp(-0.5 * ((f - 0.5) / 0.02) ** 2) + 0.5 * np.exp(
+        -0.5 * ((f - 1.25) / 0.02) ** 2
+    )
+    fs = FSeries(f, power)
+    assert float(fs.period_at_highest_peak) == pytest.approx(2.0, abs=0.05)
+    assert float(fs.period_at_highest_prominence) == pytest.approx(2.0, abs=0.05)
+    ranked = np.asarray(fs.psort_by_peak())
+    assert ranked[0] == pytest.approx(2.0, abs=0.05)
+    assert ranked[1] == pytest.approx(0.8, abs=0.05)
+    lo, hi = fs.periods_at_half_max()
+    assert lo < 2.0 < hi
+
+
+def test_fseries_fwhm_interval_width():
+    f = np.linspace(0.01, 1.0, 1000)
+    sd = 0.01
+    power = np.exp(-0.5 * ((f - 0.5) / sd) ** 2)
+    fs = FSeries(f, power)
+    lo, hi = fs.periods_at_half_max()
+    # FWHM in frequency = 2.355 sd -> convert to period interval around 2
+    f_lo, f_hi = 0.5 - 1.1774 * sd, 0.5 + 1.1774 * sd
+    assert lo == pytest.approx(1 / f_hi, rel=0.02)
+    assert hi == pytest.approx(1 / f_lo, rel=0.02)
+
+
+def test_fseries_ifft_roundtrip():
+    t = np.arange(64.0)
+    sig = TSeries(t, np.sin(2 * np.pi * t / 8))
+    back = sig.fft().ifft()
+    np.testing.assert_allclose(
+        np.asarray(back.values), np.asarray(sig.values), atol=1e-10
+    )
+
+
+def test_fseries_downsample_frequency_and_period():
+    f = np.linspace(0.1, 1.0, 300)
+    fs = FSeries(f, np.ones(300))
+    d1 = fs.downsample(df=0.1)
+    assert d1.size <= 10
+    d2 = fs.downsample(dp=1.0)
+    assert d2.size >= 2
+    with pytest.raises(ValueError):
+        fs.downsample()
+    with pytest.raises(ValueError):
+        fs.downsample(df=0.1, dp=1.0)
+
+
+def test_tfseries_indexing_degrades():
+    t = np.arange(10.0)
+    f = np.linspace(0.1, 1.0, 5)
+    v = np.arange(50.0).reshape(5, 10)
+    tf = TFSeries(time=t, frequency=f, values=v)
+    row = tf[2]
+    assert isinstance(row, TSeries) and row.size == 10
+    col = tf[:, 3]
+    assert isinstance(col, FSeries) and col.size == 5
+    scalar = tf[2, 3]
+    assert float(scalar) == v[2, 3]
+    sub = tf[1:3, 2:5]
+    assert isinstance(sub, TFSeries) and sub.shape == (2, 3)
+    # named-dim reductions
+    m_t = tf.mean("time")
+    assert isinstance(m_t, FSeries) and m_t.size == 5
+    m_f = tf.mean("frequency")
+    assert isinstance(m_f, TSeries) and m_f.size == 10
+    # boolean row mask
+    masked = tf[np.array([True, False, True, False, True])]
+    assert masked.shape == (3, 10)
+
+
+def test_tfseries_downsample():
+    t = np.arange(40.0)
+    f = np.linspace(0.1, 1.0, 16)
+    v = np.random.default_rng(0).standard_normal((16, 40))
+    tf = TFSeries(time=t, frequency=f, values=v)
+    d = tf.downsample(dt=4.0)
+    assert d.shape[0] == 16 and d.shape[1] <= 10
+    d2 = tf.downsample(df=0.2)
+    assert d2.shape[1] == 40 and d2.shape[0] <= 5
+
+
+def test_tseries_fill_gaps_and_mirror():
+    t = np.array([0.0, 1, 2, 3, 7, 8, 9, 10])
+    v = np.sin(t)
+    sig = TSeries(t, v)
+    filled = sig.fill_gaps()
+    assert filled.size > sig.size
+    assert np.all(np.diff(np.asarray(filled.time)) < 1.5)
+    # mirror gap fill runs and leaves no NaNs
+    v2 = v.copy()
+    sig2 = TSeries(np.arange(8.0), v2)
+    holed = TSeries(np.arange(8.0), np.where((np.arange(8) > 2) & (np.arange(8) < 6), np.nan, v2))
+    rec = holed.interpolate_na("mirror")
+    assert not np.isnan(np.asarray(rec.values)).any()
+
+
+def test_tseries_acf_unbias_and_float_maxlag():
+    t = np.arange(256.0)
+    sig = TSeries(t, np.sin(2 * np.pi * t / 16))
+    r1 = sig.acf(max_lag=50)
+    assert r1.size == 50
+    r2 = sig.acf(max_lag=20.0)  # float -> time units
+    assert float(np.asarray(r2.time)[-1]) <= 21.0
+    # unbias divides by the ACF of self/self (reference core.py:604-606),
+    # which requires samples without exact zeros
+    sig_nz = TSeries(t, 2.0 + np.sin(2 * np.pi * t / 16))
+    r3 = sig_nz.acf(max_lag=50, unbias=True)
+    assert float(r3.values[0]) == pytest.approx(1.0)
+
+
+def test_tseries_curvefit():
+    t = np.linspace(0, 10, 100)
+    y = 2.5 * np.sin(t) + 0.5
+    sig = TSeries(t, y)
+
+    import jax.numpy as jnp
+
+    fit = sig.curvefit(lambda x, a, b: a * jnp.sin(x) + b, p0=[1.0, 0.0])
+    coefs = np.asarray(fit.attrs["coefficients"])
+    assert coefs[0] == pytest.approx(2.5, rel=1e-4)
+    assert coefs[1] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_numpy_protocol_roundtrip():
+    sig = TSeries(np.arange(10.0), np.linspace(-1, 1, 10))
+    assert isinstance(np.sin(sig), TSeries)
+    assert isinstance(np.abs(sig), TSeries)
+    assert float(np.std(sig)) == pytest.approx(np.std(np.linspace(-1, 1, 10)))
+    rolled = np.roll(sig, 3)
+    assert isinstance(rolled, TSeries)
+    z = np.zeros_like(sig)
+    assert isinstance(z, TSeries) and float(z.amax()) == 0.0
+
+
+def test_utils_checkpoint_and_logging(tmp_path):
+    import jax.numpy as jnp
+
+    from periodicity_tpu.utils import load_state, log_event, save_state, timer
+
+    state = {"chain": jnp.arange(12.0).reshape(3, 4), "step": jnp.asarray(7)}
+    path = os.path.join(tmp_path, "state.npz")
+    save_state(path, state)
+    restored = load_state(path, state)
+    np.testing.assert_allclose(np.asarray(restored["chain"]), np.arange(12.0).reshape(3, 4))
+    assert int(restored["step"]) == 7
+    log_event("test", n=3)
+    with timer("block") as t:
+        _ = jnp.sum(jnp.arange(100.0))
+    assert t["seconds"] >= 0
