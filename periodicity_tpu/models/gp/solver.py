@@ -80,7 +80,7 @@ def celerite_factor(A, U, V, P):
         return (S, D, W), (D, W)
 
     (_, _, _), (D_rest, W_rest) = jax.lax.scan(
-        step, (S0, D0, W0), (A[1:], U[1:], V[1:], P)
+        step, (S0, D0, W0), (A[1:], U[1:], V[1:], P), unroll=8
     )
     D = jnp.concatenate([D0[None], D_rest])
     W = jnp.concatenate([W0[None], W_rest])
@@ -106,7 +106,7 @@ def celerite_solve(U, P, D, W, y):
     z0 = y[0]
     f0 = jnp.zeros((r, k), U.dtype)
     (_, _), z_rest = jax.lax.scan(
-        fwd_step, (f0, z0), (U[1:], W[:-1], P, y[1:])
+        fwd_step, (f0, z0), (U[1:], W[:-1], P, y[1:]), unroll=8
     )
     z = jnp.concatenate([z0[None], z_rest])
     zd = z / D[:, None]
@@ -124,6 +124,7 @@ def celerite_solve(U, P, D, W, y):
     (_, _), x_rest = jax.lax.scan(
         bwd_step, (g0, xN),
         (U[1:][::-1], W[:-1][::-1], P[::-1], zd[:-1][::-1]),
+        unroll=8,
     )
     x = jnp.concatenate([xN[None], x_rest])[::-1]
     if squeeze:

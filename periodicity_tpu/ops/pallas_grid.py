@@ -41,7 +41,7 @@ def _kernel(starts_ref, ends_ref, ilo_ref, *rest, tile, cap):
     e = ends_ref[b]
     base_pos = b * tile
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tile), 1)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    sub_iota2d = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
     n_sub = _ALIGN // cap
 
     out_re_ref[...] = jnp.zeros((1, tile), jnp.float32)
@@ -59,14 +59,14 @@ def _kernel(starts_ref, ends_ref, ilo_ref, *rest, tile, cap):
             @pl.when((chunk + lo < e) & (chunk + lo + cap > s))
             def _(lo=lo):
                 ilo_c = ilo_w[lo : lo + cap]
-                gidx = chunk + lo + sub_iota
+                gidx = sub_iota2d + (chunk + lo)  # [cap, 1], stays 2-D
                 valid = (gidx >= s) & (gidx < e)
                 off = ilo_c - base_pos  # in [-3, tile) when relevant
                 acc_re = jnp.zeros((1, tile), jnp.float32)
                 acc_im = jnp.zeros((1, tile), jnp.float32)
                 for j in range(4):
                     onehot = (
-                        (iota == (off[:, None] + j)) & valid[:, None]
+                        (iota == (off[:, None] + j)) & valid
                     ).astype(jnp.float32)
                     acc_re = acc_re + jnp.dot(
                         v_w[j][lo : lo + cap][None, :], onehot,
