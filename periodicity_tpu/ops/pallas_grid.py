@@ -18,6 +18,14 @@ indices are *sorted* (time-sorted samples -> monotone grid positions):
 Complex tap values travel as eight 1-D planes (re/im x 4 taps): a [N, 4]
 layout would tile-pad the 4-lane dim to 128 (32x VMEM blow-up) and dynamic
 lane-dim slicing of a [4, N] layout is not supported by the Mosaic runtime.
+
+Status (TPU v5e, N=1e5 -> nfft=8.4M): numerically exact vs the scatter
+reference on hardware; ~47 ms vs ~10-20 ms for the XLA scatter at this
+point density (~12 points/tile leaves the one-hot construction cost
+unamortized), so the default GLS path keeps the scatter. The kernel wins
+when many points land per tile (dense sampling / smaller grids); future
+work: accumulate one-hot columns in int8/bf16 on the MXU and fuse the
+Lagrange-weight computation into the kernel.
 """
 
 from functools import partial
