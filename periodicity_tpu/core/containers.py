@@ -393,6 +393,21 @@ class Signal:
 
         return plt.hist(np.asarray(self._values).ravel(), *args, **kwargs)
 
+    def to_pandas(self):
+        """pandas view (reference core.py:189-190)."""
+        import pandas as pd
+
+        coords = self._coord_arrays()
+        if self.ndim == 1:
+            return pd.Series(
+                np.asarray(self._values), index=np.asarray(coords[0])
+            )
+        return pd.DataFrame(
+            np.asarray(self._values),
+            index=np.asarray(coords[0]),
+            columns=np.asarray(coords[1]),
+        )
+
 
 def _register_array_funcs():
     def reduce_entry(np_name, method):
@@ -668,7 +683,7 @@ class TSeries(Signal):
         new_time = jnp.asarray(new_time)
         if method in ("spline", "cubic"):
             new_values = _spline.spline_interp(self._time, self._values, new_time)
-        elif method == "linear":
+        elif method in ("linear", "slinear"):
             new_values = jnp.interp(new_time, self._time, self._values)
         elif method == "nearest":
             idx = jnp.clip(

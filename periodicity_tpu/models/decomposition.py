@@ -45,6 +45,24 @@ class EMD:
         self.theta_2 = theta_2
         self.alpha = alpha
 
+    def sift(self, sig):
+        """One sifting evaluation; returns (mu: TSeries, sigma: TSeries,
+        n_ext, n_zero) like the reference (decomposition.py:45-70), raising
+        ValueError when the signal lacks extrema for padding."""
+        from ..ops.emd import sift as _sift
+
+        mu, sigma, n_ext, n_zero, ok = _sift(
+            sig.time, sig.values, pad_width=self.pad_width
+        )
+        if not bool(ok):
+            raise ValueError("Signal doesn't have enough extrema for padding.")
+        return (
+            TSeries(sig.time, mu, assume_sorted=True),
+            TSeries(sig.time, sigma, assume_sorted=True),
+            int(n_ext),
+            int(n_zero),
+        )
+
     def _iter_kernel(self, t, x):
         return emd_iter(
             t, x,
@@ -183,8 +201,13 @@ class CEEMDAN:
         ensemble_size=50,
         min_energy=0.0,
         random_seed=None,
+        cores=None,
         **kwargs,
     ):
+        # `cores` accepted for drop-in compatibility with the reference's
+        # Pool fan-out (decomposition.py:217); the ensemble always runs as
+        # one on-device vmap batch here.
+        del cores
         self.epsilon = epsilon
         self.ensemble_size = ensemble_size
         self.min_energy = min_energy

@@ -199,7 +199,8 @@ class StringLength:
         reference's ``cores`` process count).
     """
 
-    def __init__(self, dphi=0.1, n_periods=1000, batch_size=128):
+    def __init__(self, dphi=0.1, n_periods=1000, batch_size=128, cores=None):
+        del cores  # reference-API compatibility; scans are on-device
         self.dphi = dphi
         self.n_periods = n_periods
         self.batch_size = batch_size
@@ -234,7 +235,9 @@ class PDM:
         oversample=1,
         do_subharmonic=False,
         batch_size=128,
+        cores=None,
     ):
+        del cores  # reference-API compatibility; scans are on-device
         self.nb = nb
         self.nc = nc
         self.p_min = p_min
