@@ -32,10 +32,12 @@ __all__ = [
     "PDM",
     "AoV",
     "ConditionalEntropy",
+    "GregoryLoredo",
     "string_length_scan",
     "pdm_scan",
     "aov_scan",
     "conditional_entropy_scan",
+    "gregory_loredo_scan",
 ]
 
 
@@ -185,6 +187,72 @@ class ConditionalEntropy:
             n_phi=self.n_phi, n_mag=self.n_mag, batch_size=self.batch_size,
         )
         self.periodogram = FSeries(1.0 / self.periods, h)
+        return self.periodogram
+
+
+@partial(jax.jit, static_argnames=("n_bins", "batch_size"))
+def gregory_loredo_scan(t, periods, n_bins=12, batch_size=128):
+    """Gregory-Loredo log odds of a stepwise periodic model per trial period
+    (Gregory & Loredo 1992, for event/arrival-time data) — a reference TODO
+    (phase.py:13) implemented natively.
+
+    For events at times t folded at a trial period into m bins with counts
+    n_j, the (log) odds of the periodic model against constant rate is
+
+        ln O = N ln m + lgamma(m) - lgamma(N + m) + sum_j lgamma(n_j + 1)
+
+    up to a period-independent constant. Maxima mark candidate periods.
+    """
+    from jax.scipy.special import gammaln
+
+    t = jnp.asarray(t)
+    n = t.shape[0]
+    const = n * jnp.log(float(n_bins)) + gammaln(float(n_bins)) - gammaln(
+        float(n + n_bins)
+    )
+
+    def one(period):
+        phi = (t / period) % 1.0
+        b = jnp.clip((phi * n_bins).astype(jnp.int32), 0, n_bins - 1)
+        counts = jnp.zeros(n_bins, t.dtype).at[b].add(1.0)
+        return const + jnp.sum(gammaln(counts + 1.0))
+
+    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+class GregoryLoredo:
+    """Gregory-Loredo Bayesian period search for event-time data
+    (Gregory & Loredo 1992; listed as a TODO upstream, phase.py:13).
+
+    Call on a TSeries (its time stamps are the events; values ignored) or a
+    raw array of event times. Returns an FSeries of log odds; maxima mark
+    periods.
+    """
+
+    def __init__(self, n_bins=12, p_min=None, p_max=None, n_periods=1000,
+                 batch_size=128):
+        self.n_bins = n_bins
+        self.p_min = p_min
+        self.p_max = p_max
+        self.n_periods = n_periods
+        self.batch_size = batch_size
+
+    def __call__(self, signal):
+        if isinstance(signal, TSeries):
+            events = signal.time
+        else:
+            events = jnp.sort(jnp.asarray(signal))
+            signal = TSeries(events, jnp.ones(events.shape[0]))
+        self.signal = signal
+        p_min = (
+            2 * float(signal.median_dt) if self.p_min is None else self.p_min
+        )
+        p_max = float(signal.baseline) if self.p_max is None else self.p_max
+        self.periods = np.linspace(p_min, p_max, self.n_periods)
+        lo = gregory_loredo_scan(
+            events, self.periods, n_bins=self.n_bins, batch_size=self.batch_size
+        )
+        self.periodogram = FSeries(1.0 / self.periods, lo)
         return self.periodogram
 
 

@@ -3,10 +3,12 @@
 from .models.phase import (
     AoV,
     ConditionalEntropy,
+    GregoryLoredo,
     PDM,
     StringLength,
     aov_scan,
     conditional_entropy_scan,
+    gregory_loredo_scan,
     pdm_scan,
     string_length_scan,
 )
@@ -16,6 +18,8 @@ __all__ = [
     "PDM",
     "AoV",
     "ConditionalEntropy",
+    "GregoryLoredo",
+    "gregory_loredo_scan",
     "string_length_scan",
     "pdm_scan",
     "aov_scan",

@@ -104,3 +104,19 @@ def test_conditional_entropy_finds_period():
     h = ce(TSeries(t, y))
     best = float(np.asarray(h.period)[np.argmin(np.asarray(h.values))])
     assert best == pytest.approx(7.3, abs=0.1)
+
+
+def test_gregory_loredo_finds_period_in_event_times():
+    from periodicity_tpu.phase import GregoryLoredo
+
+    rng = np.random.default_rng(9)
+    # inhomogeneous Poisson events concentrated at phase 0.3 of a 5.0 period
+    base = np.sort(rng.uniform(0, 500, 3000))
+    keep = rng.random(3000) < 0.15 + 0.8 * np.exp(
+        -0.5 * ((((base / 5.0) % 1) - 0.3) / 0.08) ** 2
+    )
+    events = base[keep]
+    gl = GregoryLoredo(p_min=2.0, p_max=10.0, n_periods=4000)
+    lo = gl(events)
+    best = float(np.asarray(lo.period)[np.argmax(np.asarray(lo.values))])
+    assert best == pytest.approx(5.0, abs=0.02)
