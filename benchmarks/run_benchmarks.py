@@ -224,6 +224,10 @@ def main():
     ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args()
     for c in [int(x) for x in args.configs.split(",")]:
+        if c not in CONFIGS:
+            ap.error(
+                f"unknown config {c}; choose from {sorted(CONFIGS)}"
+            )
         result = CONFIGS[c]()
         print(json.dumps(result))
 
