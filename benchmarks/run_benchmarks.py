@@ -210,12 +210,51 @@ def config5_gp():
     }
 
 
+def config6_gls_batch():
+    """Batched GLS: 4 light curves x 1e6 frequencies on one chip (beyond the
+    reference's strictly single-series scope; SURVEY §2.2 batch axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.spectral import gls_power_batch
+
+    n, nf, b = 100_000, 1_000_000, 4
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 1000.0, n)).astype(np.float32)
+    ys = np.stack(
+        [np.sin(2 * np.pi * t / p) for p in [5.0, 7.7, 11.0, 17.0]]
+    ).astype(np.float32)
+    errs = np.full((b, n), 0.3, np.float32)
+    df = np.float32(0.5 / 1000.0)
+    fmin = np.float32(df / 2)
+    tj, ysj, ej = jnp.asarray(t), jnp.asarray(ys), jnp.asarray(errs)
+    k = 5
+
+    @jax.jit
+    def loop(ys):
+        def body(_, carry):
+            ys, acc = carry
+            p = gls_power_batch(tj, ys, ej, df, fmin, nf, batch_size=b)
+            return (ys + p[:, :n] * 1e-9, acc + jnp.sum(p[:, 0]))
+
+        return jax.lax.fori_loop(0, k, body, (ys, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(ysj))) / k
+    return {
+        "metric": "gls_batched_freqs_per_sec_B4_N1e5",
+        "value": b * nf / dt,
+        "unit": "freqs/sec aggregate",
+        "detail": {"ms_per_batch": dt * 1e3, "batch": b},
+    }
+
+
 CONFIGS = {
     1: config1_gls,
     2: config2_acf,
     3: config3_wps,
     4: config4_phase,
     5: config5_gp,
+    6: config6_gls_batch,
 }
 
 
