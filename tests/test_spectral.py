@@ -127,3 +127,26 @@ def test_gls_power_batch_matches_loop():
     for i in range(b):
         single = np.asarray(gls_power(t, ys[i], errs[i], df, fmin, nf))
         np.testing.assert_allclose(batch[i], single, rtol=1e-10)
+
+
+def test_fast_path_f32_accuracy_characterized():
+    """Characterize the float32 fast path against float64: peak location is
+    grid-exact and power error stays within the extirpolation budget
+    (documented in docs/getting_started.md)."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = np.sort(rng.uniform(0, 300, n))
+    y = np.sin(2 * np.pi * t / 9.3) + 0.3 * rng.standard_normal(n)
+    err = np.full(n, 0.3)
+    from periodicity_tpu.spectral import gls_power
+
+    df, fmin, nf = 1e-4, 5e-5, 8192
+    p64 = np.asarray(gls_power(t, y, err, df, fmin, nf))
+    p32 = np.asarray(
+        gls_power(
+            t.astype(np.float32), y.astype(np.float32), err.astype(np.float32),
+            np.float32(df), np.float32(fmin), nf,
+        )
+    )
+    assert np.argmax(p32) == np.argmax(p64)
+    assert np.max(np.abs(p32 - p64)) < 5e-3
