@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["run_ensemble", "autocorr_time"]
+__all__ = ["run_ensemble", "run_ensemble_sharded", "autocorr_time"]
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a"))
@@ -64,6 +64,83 @@ def run_ensemble(log_prob_fn, x0, key, n_steps, a=2.0):
     keys = jax.random.split(key, n_steps)
     (_, _), (chain, lps, accepts) = jax.lax.scan(step, (x0, lp0), keys)
     return chain, lps, jnp.mean(accepts.astype(jnp.float32))
+
+
+def run_ensemble_sharded(log_prob_fn, x0, key, n_steps, mesh, axis="walkers",
+                         a=2.0):
+    """Stretch-move ensemble MCMC with the walker axis sharded over a mesh.
+
+    Each chip owns W/D walkers and evaluates their log-probabilities
+    locally; the complementary half-ensemble needed for partner draws is
+    exchanged with one all-gather over ICI per half-update. Detailed
+    balance follows the standard red-black (two-half) scheme: walkers with
+    global index < W/2 form half A. Proposals are computed for every local
+    walker each half-update but only the active half may accept.
+
+    x0 [W, D] with W divisible by 2*mesh.shape[axis]. Returns
+    (chain [n_steps, W, D], log_probs [n_steps, W], acceptance).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+    from jax import shard_map
+
+    x0 = jnp.asarray(x0)
+    w, d = x0.shape
+    n_dev = mesh.shape[axis]
+    if w % (2 * n_dev):
+        raise ValueError(f"n_walkers={w} must be divisible by 2*{n_dev}")
+    half = w // 2
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(Pspec(axis), Pspec()),
+        out_specs=(Pspec(None, axis), Pspec(None, axis), Pspec()),
+        check_vma=False,
+    )
+    def _run(x_local, key):
+        w_local = x_local.shape[0]
+        dev = jax.lax.axis_index(axis)
+        # decorrelate per-device randomness (the key arrives replicated)
+        key_dev = jax.random.fold_in(key, dev)
+        gidx = dev * w_local + jnp.arange(w_local)
+        is_a = gidx < half
+        lp_local = jax.vmap(log_prob_fn)(x_local)
+
+        def half_update(x_local, lp_local, active_mask, key):
+            full = jax.lax.all_gather(x_local, axis, tiled=True)  # [W, D]
+            k1, k2, k3 = jax.random.split(key, 3)
+            # partner: uniform over the complementary half
+            u = jax.random.uniform(k1, (w_local,), x_local.dtype)
+            z = ((a - 1.0) * u + 1.0) ** 2 / a
+            j = jax.random.randint(k2, (w_local,), 0, half)
+            # A-walkers draw from half B (offset by `half`), B from half A
+            pidx = jnp.where(active_mask, j + half, j)
+            partners = full[pidx]
+            prop = partners + z[:, None] * (x_local - partners)
+            lp_prop = jax.vmap(log_prob_fn)(prop)
+            log_r = (d - 1) * jnp.log(z) + lp_prop - lp_local
+            accept = (
+                jnp.log(jax.random.uniform(k3, (w_local,), x_local.dtype)) < log_r
+            ) & active_mask
+            x_new = jnp.where(accept[:, None], prop, x_local)
+            lp_new = jnp.where(accept, lp_prop, lp_local)
+            return x_new, lp_new, accept
+
+        def step(carry, key):
+            x, lp = carry
+            k1, k2 = jax.random.split(key)
+            x, lp, acc1 = half_update(x, lp, is_a, k1)
+            x, lp, acc2 = half_update(x, lp, ~is_a, k2)
+            return (x, lp), (x, lp, acc1 | acc2)
+
+        keys = jax.random.split(key_dev, n_steps)
+        (_, _), (chain, lps, accepts) = jax.lax.scan(step, (x_local, lp_local), keys)
+        acc = jax.lax.pmean(jnp.mean(accepts.astype(jnp.float32)), axis)
+        return chain, lps, acc
+
+    sharding = NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+    x0 = jax.device_put(x0, sharding)
+    return _run(x0, key)
 
 
 def _acf_1d(x):
