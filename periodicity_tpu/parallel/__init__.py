@@ -18,6 +18,7 @@ Single chip stays the zero-config default, exactly as the reference is
 single-process by default.
 """
 
+from .dfft import distributed_acf, distributed_fft, distributed_ifft
 from .mesh import default_mesh, grid_sharding
 from .sharded import (
     sharded_acf,
@@ -33,4 +34,7 @@ __all__ = [
     "sharded_pdm",
     "sharded_string_length",
     "sharded_acf",
+    "distributed_fft",
+    "distributed_ifft",
+    "distributed_acf",
 ]
