@@ -682,7 +682,16 @@ class TSeries(Signal):
             )
         new_time = jnp.asarray(new_time)
         if method in ("spline", "cubic"):
-            new_values = _spline.spline_interp(self._time, self._values, new_time)
+            s = kwargs.pop("s", 0)
+            if s:
+                new_values = _spline.smoothing_spline_interp(
+                    self._time, self._values, new_time, s=s,
+                    w=kwargs.pop("w", None),
+                )
+            else:
+                new_values = _spline.spline_interp(
+                    self._time, self._values, new_time
+                )
         elif method in ("linear", "slinear"):
             new_values = jnp.interp(new_time, self._time, self._values)
         elif method == "nearest":

@@ -24,6 +24,9 @@ __all__ = [
     "spline_derivatives",
     "spline_eval",
     "spline_interp",
+    "smoothing_spline_values",
+    "smoothing_spline_eval",
+    "smoothing_spline_interp",
 ]
 
 
@@ -154,3 +157,98 @@ def spline_interp(x, y, xnew, count=None):
     """Not-a-knot cubic spline interpolation (== scipy splrep(s=0)/splev)."""
     s = spline_derivatives(x, y, count=count)
     return spline_eval(x, y, s, xnew, count=count)
+
+
+def smoothing_spline_values(x, y, lam, w=None):
+    """Cubic smoothing spline (Reinsch 1967): fitted values and natural
+    second derivatives at the knots.
+
+    Minimizes sum_i w_i (y_i - f(x_i))^2 + lam * int f''(t)^2 dt. Returns
+    (f [n], gamma [n]) where gamma are f'' at the knots (natural ends = 0).
+    TPU-native counterpart of scipy.interpolate.make_smoothing_spline /
+    splrep(s>0) (reference core.py:655-658 exposes the s parameter).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    if w is None:
+        w = jnp.ones(n, x.dtype)
+    w = jnp.asarray(w)
+    h = jnp.diff(x)  # [n-1]
+    # T [(n-2) x (n-2)] tridiagonal, Q^T [(n-2) x n] second differences
+    hi = h[:-1]
+    hj = h[1:]
+    main_T = (hi + hj) / 3.0
+    off_T = h[1:-1] / 6.0
+    T = (
+        jnp.diag(main_T)
+        + jnp.diag(off_T, 1)
+        + jnp.diag(off_T, -1)
+    )
+    rows = jnp.arange(n - 2)
+    QT = jnp.zeros((n - 2, n), x.dtype)
+    QT = QT.at[rows, rows].set(1.0 / hi)
+    QT = QT.at[rows, rows + 1].set(-1.0 / hi - 1.0 / hj)
+    QT = QT.at[rows, rows + 2].set(1.0 / hj)
+    Dinv2 = 1.0 / w  # variance weights
+    M = lam * (QT * Dinv2[None, :]) @ QT.T + T
+    gamma_int = jnp.linalg.solve(M, QT @ y)
+    f = y - lam * Dinv2 * (QT.T @ gamma_int)
+    gamma = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), gamma_int, jnp.zeros((1,), x.dtype)]
+    )
+    return f, gamma
+
+
+def smoothing_spline_eval(x, f, gamma, xnew):
+    """Evaluate the natural cubic spline with knot values f and second
+    derivatives gamma at xnew (linear extrapolation beyond the range,
+    matching the natural end conditions)."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    i = jnp.clip(jnp.searchsorted(x, jnp.asarray(xnew), side="right") - 1, 0, n - 2)
+    h = x[i + 1] - x[i]
+    a = (x[i + 1] - xnew) / h
+    b = (xnew - x[i]) / h
+    return (
+        a * f[i]
+        + b * f[i + 1]
+        + ((a**3 - a) * gamma[i] + (b**3 - b) * gamma[i + 1]) * h**2 / 6.0
+    )
+
+
+def smoothing_spline_interp(x, y, xnew, s, w=None, max_iter=60):
+    """splrep(s)/splev-style smoothing interpolation: picks lam so that the
+    weighted residual sum matches the smoothing condition
+    sum((y - f)^2 * w) ~= s (FITPACK's criterion), then evaluates at xnew.
+    s == 0 falls back to the exact interpolating not-a-knot spline.
+    """
+    if s == 0:
+        return spline_interp(jnp.asarray(x), jnp.asarray(y), jnp.asarray(xnew))
+    import numpy as _np
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def rss(lam):
+        f, _ = smoothing_spline_values(x, y, lam, w)
+        r = y - f
+        ww = jnp.ones_like(y) if w is None else jnp.asarray(w)
+        return float(jnp.sum(ww * r * r))
+
+    # bisection on log(lam): rss is monotone increasing in lam
+    lo, hi = 1e-12, 1e12
+    if rss(hi) < s:
+        lam = hi
+    elif rss(lo) > s:
+        lam = lo
+    else:
+        for _ in range(max_iter):
+            mid = _np.sqrt(lo * hi)
+            if rss(mid) > s:
+                hi = mid
+            else:
+                lo = mid
+        lam = _np.sqrt(lo * hi)
+    f, gamma = smoothing_spline_values(x, y, lam, w)
+    return smoothing_spline_eval(x, f, gamma, jnp.asarray(xnew))

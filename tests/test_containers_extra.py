@@ -160,3 +160,42 @@ def test_utils_checkpoint_and_logging(tmp_path):
     with timer("block") as t:
         _ = jnp.sum(jnp.arange(100.0))
     assert t["seconds"] >= 0
+
+
+def test_smoothing_spline_matches_scipy_and_s_criterion():
+    """Reinsch smoothing spline == scipy make_smoothing_spline for given
+    lam; the s-targeted wrapper hits FITPACK's residual criterion."""
+    from scipy.interpolate import make_smoothing_spline
+
+    from periodicity_tpu.ops.spline import (
+        smoothing_spline_eval,
+        smoothing_spline_interp,
+        smoothing_spline_values,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 200
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.2 * rng.standard_normal(n)
+    for lam in [1e-3, 1e-1, 1.0]:
+        f, gamma = smoothing_spline_values(x, y, lam)
+        ref = make_smoothing_spline(x, y, lam=lam)(x)
+        np.testing.assert_allclose(np.asarray(f), ref, atol=1e-8)
+    xe = np.linspace(0.5, 9.5, 77)
+    f, gamma = smoothing_spline_values(x, y, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(smoothing_spline_eval(x, f, gamma, xe)),
+        make_smoothing_spline(x, y, lam=0.1)(xe),
+        atol=1e-8,
+    )
+    s = 1.6
+    fitted = np.asarray(smoothing_spline_interp(x, y, x, s=s))
+    assert np.sum((y - fitted) ** 2) == pytest.approx(s, rel=1e-6)
+    # container surface: interp(method="spline", s=...)
+    sm = TSeries(x, y).interp(xe, method="spline", s=s)
+    assert np.isfinite(np.asarray(sm.values)).all()
+    # smoothing reduces roughness vs the interpolating spline
+    rough = np.sum(np.diff(np.asarray(sm.values), 2) ** 2)
+    exact = TSeries(x, y).interp(xe, method="spline")
+    rough0 = np.sum(np.diff(np.asarray(exact.values), 2) ** 2)
+    assert rough < rough0
