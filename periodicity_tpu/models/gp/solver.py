@@ -133,13 +133,42 @@ def celerite_solve(U, P, D, W, y):
 
 
 def log_likelihood(term, t, diag, resid):
-    """Marginal GP log-likelihood of residuals (y - mean)."""
+    """Marginal GP log-likelihood of residuals (y - mean).
+
+    Single fused pass: with K = L D L^T and z = L^{-1} y, the quadratic
+    form is y^T K^{-1} y = sum z_n^2 / D_n, so the factorization and the
+    forward solve run in ONE lax.scan and no backward substitution is
+    needed — a third of the sequential depth of factor+solve+resolve.
+    """
     A, U, V, P = celerite_matrices(term, t, diag)
-    D, W = celerite_factor(A, U, V, P)
-    alpha = celerite_solve(U, P, D, W, resid)
-    n = resid.shape[0]
+    resid = jnp.asarray(resid)
+    n, r = U.shape
+    D0 = A[0]
+    W0 = V[0] / D0
+    S0 = jnp.zeros((r, r), U.dtype)
+    z0 = resid[0]
+    f0 = jnp.zeros((r,), U.dtype)
+
+    def step(carry, inp):
+        S, D_prev, W_prev, f, z_prev = carry
+        a, u, v, p, y_n = inp
+        S = (p[:, None] * p[None, :]) * (S + D_prev * jnp.outer(W_prev, W_prev))
+        Su = S @ u
+        D = a - u @ Su
+        W = (v - Su) / D
+        f = p * (f + W_prev * z_prev)
+        z = y_n - u @ f
+        return (S, D, W, f, z), (D, z)
+
+    _, (D_rest, z_rest) = jax.lax.scan(
+        step, (S0, D0, W0, f0, z0),
+        (A[1:], U[1:], V[1:], P, resid[1:]),
+        unroll=8,
+    )
+    D = jnp.concatenate([D0[None], D_rest])
+    z = jnp.concatenate([z0[None], z_rest])
     return -0.5 * (
-        resid @ alpha + jnp.sum(jnp.log(D)) + n * jnp.log(2 * jnp.pi)
+        jnp.sum(z * z / D) + jnp.sum(jnp.log(D)) + n * jnp.log(2 * jnp.pi)
     )
 
 
