@@ -85,3 +85,27 @@ def test_wps_coi_helpers():
     assert mask.shape == (40, 1024)
     # edges are always outside the cone
     assert not mask[:, 0].any() and not mask[:, -1].any()
+
+
+def test_plotting_smoke(tmp_path):
+    """Plot methods render without error on the Agg backend."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.arange(256.0)
+    sig = TSeries(t, np.sin(2 * np.pi * t / 16))
+    sig.plot()
+    sig.hist(bins=16)
+    from periodicity_tpu.spectral import GLS
+
+    ls = GLS()(sig)
+    ls.plot()
+    wps = WPS(np.geomspace(4, 64, 20))
+    wps(sig)
+    wps.spectrum.pcolormesh()
+    wps.spectrum.imshow()
+    wps.plot_coi(alpha=0.3)
+    plt.savefig(tmp_path / "smoke.png")
+    plt.close("all")
