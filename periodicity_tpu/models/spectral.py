@@ -105,19 +105,23 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
 
 @partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size"))
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
-                    method="fast", batch_size=8):
+                    method="fast", batch_size=None):
     """Batched GLS over many light curves sharing one time grid.
 
-    ys, errs: [B, N]. Returns power [B, nf]. The batch axis vmaps over the
-    extirpolation+FFT kernel (batched TPU FFTs); shard the leading axis
-    over a mesh for multi-chip batches (SURVEY §2.2 "batch parallelism
-    over many light curves").
+    ys, errs: [B, N]. Returns power [B, nf]. Default batch_size=1 maps the
+    single-series kernel sequentially: vmapping the extirpolation scatter
+    adds a batch dimension that reverts it to the slow TPU scatter layout
+    (measured 2x slower than sequential after the f32-plane fix), while the
+    single-series kernel already saturates the chip at large nf. Shard the
+    leading axis over a mesh for multi-chip batches (SURVEY §2.2).
     """
     def one(args):
         y, e = args
         return gls_power(t, y, e, df, fmin, nf,
                          fit_mean=fit_mean, psd=psd, method=method)
 
+    # batch_size=None -> plain sequential lax.map (a size-1 vmapped batch
+    # dim already reverts the scatter to the slow layout)
     return jax.lax.map(one, (jnp.asarray(ys), jnp.asarray(errs)),
                        batch_size=batch_size)
 

@@ -168,8 +168,13 @@ def trig_sum(t, w, df, nf, fmin, nfft=None, n=5):
     )
     vals = (wc[:, None] * lagrange.astype(cdtype)).reshape(-1)
     inds = (ilo[:, None] + jnp.arange(4)[None, :]).reshape(-1) % nfft
-    grid = jnp.zeros(nfft, cdtype).at[inds].add(vals)
-    fftgrid = jnp.fft.ifft(grid)[:nf]
+    # scatter the real/imag planes separately and form the complex grid just
+    # before the FFT: a complex64 scatter feeding an FFT forces a hostile
+    # layout on TPU and runs ~11x slower (45.8 -> 4.2 ms per trig sum at
+    # N=1e5, nfft=8.4M; measured, see docs/performance.md)
+    grid_re = jnp.zeros(nfft, vals.real.dtype).at[inds].add(vals.real)
+    grid_im = jnp.zeros(nfft, vals.real.dtype).at[inds].add(vals.imag)
+    fftgrid = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))[:nf]
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
     fftgrid = fftgrid * jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))
     C = nfft * fftgrid.real
