@@ -138,7 +138,9 @@ def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
                       fit_mean=fit_mean, psd=psd, method=method)
         return jnp.nanmax(p)
 
-    return jax.lax.map(one, keys, batch_size=8)
+    # sequential map: a vmapped batch dim on the extirpolation scatter
+    # reverts it to the slow TPU layout (see gls_power_batch)
+    return jax.lax.map(one, keys)
 
 
 class GLS:
