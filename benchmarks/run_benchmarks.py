@@ -260,7 +260,7 @@ CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     for c in [int(x) for x in args.configs.split(",")]:
         if c not in CONFIGS:
