@@ -234,7 +234,7 @@ def config6_gls_batch():
     def loop(ys):
         def body(_, carry):
             ys, acc = carry
-            p = gls_power_batch(tj, ys, ej, df, fmin, nf, batch_size=b)
+            p = gls_power_batch(tj, ys, ej, df, fmin, nf)
             return (ys + p[:, :n] * 1e-9, acc + jnp.sum(p[:, 0]))
 
         return jax.lax.fori_loop(0, k, body, (ys, jnp.float32(0)))[1]
