@@ -659,18 +659,34 @@ class TSeries(Signal):
         return [self[ids[i] : ids[i + 1]] for i in range(len(ids) - 1)]
 
     def downsample(self, dt, func=None):
+        """Bin-reduce onto a uniform grid (reference core.py:629-634).
+
+        The default nan-mean reduction is two bincounts (O(N), no Python
+        loop over bins); a custom ``func`` is applied per nonempty bin via
+        one split of the already-sorted samples.
+        """
         t = np.asarray(self._time)
         v = np.asarray(self._values)
         labels = np.arange(t.min(), t.max(), dt)
         edges = np.linspace(t.min(), t.max(), labels.size + 1)
         edges[0] -= 1e-9 * (t.max() - t.min())
         which = np.clip(np.searchsorted(edges, t, side="left") - 1, 0, labels.size - 1)
+        good = ~np.isnan(v)
         out = np.full(labels.size, np.nan)
-        for b in range(labels.size):
-            vb = v[which == b]
-            vb = vb[~np.isnan(vb)]
-            if vb.size:
-                out[b] = func(vb) if func is not None else np.mean(vb)
+        if func is None or func is np.mean:
+            sums = np.bincount(which[good], weights=v[good], minlength=labels.size)
+            counts = np.bincount(which[good], minlength=labels.size)
+            np.divide(sums, counts, out=out, where=counts > 0)
+        else:
+            # time is sorted, so bin ids are nondecreasing: one split gives
+            # the per-bin sample groups
+            ids = which[good]
+            vals = v[good]
+            if ids.size:
+                starts = np.flatnonzero(np.r_[True, np.diff(ids) > 0])
+                out[ids[starts]] = [
+                    func(g) for g in np.split(vals, starts[1:])
+                ]
         return TSeries(labels, out).dropna()
 
     def interp(self, new_time=None, method="linear", **kwargs):
@@ -762,14 +778,19 @@ class TSeries(Signal):
         if dt is None:
             dt = float(self.median_dt)
         t = np.asarray(self._time)
-        t_new = [t[0]]
-        for ti in t[1:]:
-            prev = t_new[-1]
-            while (ti - prev) > 1.2 * dt:
-                t_new.append(prev + dt)
-                prev = t_new[-1]
-            t_new.append(ti)
-        t_new = np.array(t_new)
+        # per-gap insert counts: k steps of dt from the left edge until the
+        # remaining gap is <= 1.2*dt (same semantics as stepping a cursor
+        # through each gap, but O(N) vectorized)
+        gaps = np.diff(t)
+        counts = np.maximum(np.ceil((gaps - 1.2 * dt) / dt), 0).astype(int)
+        total = int(counts.sum())
+        if total:
+            base = np.repeat(t[:-1], counts)
+            group_start = np.repeat(np.cumsum(counts) - counts, counts)
+            step = np.arange(total) - group_start + 1
+            t_new = base + dt * step
+        else:
+            t_new = np.empty(0, t.dtype)
         t_new = t_new[~np.isin(t_new, t)]
         if t_new.size:
             result = self.join(TSeries(t_new, np.full(t_new.size, np.nan)))

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import TSeries
+from ..utils.logging import log_event
 from ..ops.emd import emd_iter
 
 __all__ = ["EMD", "CEEMDAN", "LMD", "VMD"]
@@ -83,6 +84,8 @@ class EMD:
             signal = TSeries(values=signal)
         if max_modes is None:
             max_modes = np.inf
+        log_event("emd", n=signal.size, max_iter=self.max_iter,
+                  max_modes=max_modes)
         imfs = []
         is_monotonic = signal.size < 4
         residue = signal.copy()
@@ -91,6 +94,7 @@ class EMD:
             if not is_monotonic:
                 imfs.append(mode)
                 residue = residue - mode
+        log_event("emd_done", n_modes=len(imfs), monotonic=is_monotonic)
         self.signal = signal
         self.modes = imfs
         self.residue = residue
@@ -261,6 +265,8 @@ class CEEMDAN:
         e = self.ensemble_size
         sigma_x = float(np.std(signal))
 
+        log_event("ceemdan", n=n, ensemble_size=e, epsilon=self.epsilon,
+                  max_modes=max_modes)
         max_modes_cap = int(np.log2(n)) + 2
         noise = self.rng.standard_normal((e, n))
         noise_modes, noise_counts = self._noise_modes(t, noise, max_modes_cap)

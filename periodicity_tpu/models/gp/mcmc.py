@@ -16,7 +16,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["run_ensemble", "run_ensemble_sharded", "autocorr_time"]
+__all__ = [
+    "run_ensemble",
+    "run_ensemble_checkpointed",
+    "run_ensemble_sharded",
+    "autocorr_time",
+]
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a"))
@@ -64,6 +69,66 @@ def run_ensemble(log_prob_fn, x0, key, n_steps, a=2.0):
     keys = jax.random.split(key, n_steps)
     (_, _), (chain, lps, accepts) = jax.lax.scan(step, (x0, lp0), keys)
     return chain, lps, jnp.mean(accepts.astype(jnp.float32))
+
+
+def run_ensemble_checkpointed(log_prob_fn, x0, key, n_steps, a=2.0,
+                              checkpoint_path=None, checkpoint_every=100):
+    """Chunked ensemble sampler with save/resume (SURVEY §5.4).
+
+    Runs ``run_ensemble`` in chunks of ``checkpoint_every`` steps, saving
+    resumable state (walker positions, accumulated chain, chunk counter)
+    after each chunk. If ``checkpoint_path`` exists the run resumes from it
+    and — because every chunk's PRNG key is derived from the chunk index,
+    not from the interrupted process — produces samples identical to an
+    uninterrupted run. The reference keeps emcee chains only in memory
+    (gp.py:292,483), so a killed run loses everything.
+
+    Returns (chain [n_steps, W, D], log_probs [n_steps, W], acceptance).
+    """
+    import os
+
+    from ...utils.checkpoint import load_state, save_state
+
+    x0 = jnp.asarray(x0)
+    w, d = x0.shape
+    n_chunks = -(-n_steps // checkpoint_every)
+    keys = jax.random.split(key, n_chunks)
+
+    start = 0
+    x = x0
+    chain = np.zeros((0, w, d), np.asarray(x0).dtype)
+    lps = np.zeros((0, w), np.asarray(x0).dtype)
+    acc_steps = np.zeros((0, 2))  # (acceptance, n_steps) per chunk
+
+    like = {"chunk": np.asarray(0), "x": np.asarray(x0), "chain": chain,
+            "lps": lps, "acc_steps": acc_steps}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        saved = load_state(checkpoint_path, like)
+        start = int(saved["chunk"])
+        x = jnp.asarray(saved["x"])
+        chain = saved["chain"]
+        lps = saved["lps"]
+        acc_steps = saved["acc_steps"]
+
+    for i in range(start, n_chunks):
+        steps = min(checkpoint_every, n_steps - i * checkpoint_every)
+        c, l, acc = run_ensemble(log_prob_fn, x, keys[i], steps, a=a)
+        chain = np.concatenate([chain, np.asarray(c)])
+        lps = np.concatenate([lps, np.asarray(l)])
+        acc_steps = np.concatenate(
+            [acc_steps, np.asarray([[float(acc), steps]])]
+        )
+        x = c[-1]
+        if checkpoint_path:
+            save_state(checkpoint_path, {
+                "chunk": np.asarray(i + 1), "x": np.asarray(x),
+                "chain": chain, "lps": lps, "acc_steps": acc_steps,
+            })
+
+    acceptance = float(
+        np.average(acc_steps[:, 0], weights=acc_steps[:, 1])
+    )
+    return jnp.asarray(chain), jnp.asarray(lps), acceptance
 
 
 def run_ensemble_sharded(log_prob_fn, x0, key, n_steps, mesh, axis="walkers",

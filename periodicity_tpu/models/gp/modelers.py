@@ -175,10 +175,16 @@ class CeleriteModeler:
         use_prior=False,
         psd_at=None,
         random_seed=None,
+        checkpoint_path=None,
+        checkpoint_every=100,
     ):
         """Posterior sampling with the on-device ensemble sampler
         (reference gp.py:428-484 drives emcee; here: vmapped stretch moves
         under one lax.scan).
+
+        With ``checkpoint_path``, the run saves resumable state every
+        ``checkpoint_every`` steps and continues from an existing
+        checkpoint after an interruption (SURVEY §5.4).
 
         Returns (trace dict, tau) like the reference; also sets self.chain,
         self.acceptance, and self.psds when psd_at is given.
@@ -193,7 +199,16 @@ class CeleriteModeler:
             u0 = jnp.asarray(soln.x)[None, :] + 1e-3 * jax.random.normal(
                 k_init, (n_walkers, self.ndim)
             )
-        chain, lps, acc = _mcmc.run_ensemble(self._lp_jit, u0, k_run, int(n_steps))
+        if checkpoint_path is not None:
+            chain, lps, acc = _mcmc.run_ensemble_checkpointed(
+                self._lp_jit, u0, k_run, int(n_steps),
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+            )
+        else:
+            chain, lps, acc = _mcmc.run_ensemble(
+                self._lp_jit, u0, k_run, int(n_steps)
+            )
         self.chain = np.asarray(chain)
         self.acceptance = float(acc)
         samples = self.chain[burn:].reshape(-1, self.ndim)

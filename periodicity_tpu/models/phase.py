@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import FSeries, TSeries
+from ..utils.logging import log_event
 
 __all__ = [
     "StringLength",
@@ -281,6 +282,8 @@ class StringLength:
         m = (signal - signal.max()) / (2 * (signal.max() - signal.min())) + 0.25
         df = self.dphi / float(signal.baseline)
         periods = 1.0 / np.linspace(self.n_periods * df, df, self.n_periods)
+        log_event("string_length", n=signal.size, n_periods=self.n_periods,
+                  batch_size=self.batch_size)
         ell = string_length_scan(
             signal.time, m.values, periods, batch_size=self.batch_size
         )
@@ -329,6 +332,8 @@ class PDM:
             n_periods = self.n_periods
         self.periods = np.linspace(p_min, p_max, n_periods)
         dp = self.periods[1] - self.periods[0]
+        log_event("pdm", n=signal.size, n_periods=n_periods, nb=self.nb,
+                  nc=self.nc, do_subharmonic=self.do_subharmonic)
         thetas = np.array(
             pdm_scan(
                 signal.time, signal.values, self.periods,

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import FSeries, TSeries
-from ..ops.trig_sum import gls_trig_sums, trig_sum
+from ..ops.trig_sum import gls_trig_sums, grid_size, trig_sum
+from ..utils.logging import log_event
 
 __all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
 
@@ -165,6 +166,10 @@ class GLS:
         if err is None:
             err = np.ones_like(np.asarray(signal.values))
         self.err = jnp.asarray(err)
+        log_event(
+            "gls", n=signal.size, nf=nf, nfft=grid_size(nf, self.n),
+            fit_mean=fit_mean, psd=self.psd, method=self.method,
+        )
         power = gls_power(
             signal.time, signal.values, self.err,
             df, fmin, nf,

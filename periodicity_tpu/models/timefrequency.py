@@ -1,35 +1,51 @@
-"""Time-frequency estimators (WPS, HHT, CompositeSpectrum, DWT denoise).
+"""Time-frequency estimators: WPS, HHT, CompositeSpectrum, DWT denoise.
 
-TPU-native redesign of the reference timefrequency module (reference:
-timefrequency.py:14-318):
+TPU-native designs for the capabilities of the reference timefrequency
+module (reference: timefrequency.py:14-318). None of the hot paths touch
+host numpy:
 
-- WPS: complex-Morlet (cmor2.0-1.0) wavelet power spectrum. The reference
-  chooses between pywt's conv and fft paths (timefrequency.py:212-218); here
-  the CWT is always the batched XLA FFT pipeline in ops/wavelet.py (one
-  forward FFT + one batched inverse FFT over all scales). Liu et al. (2007)
-  scale-unbiasing, cone-of-influence masks, SAV and GWPS reductions.
-- HHT: pluggable decomposition (EMD default), Huang et al. (2009) iterative
-  AM/FM normalization (hilbert/spline/lmd envelopes), instantaneous
-  frequency via DQ/NHT/TEO/HT, scatter spectrogram.
-- CompositeSpectrum: GWPS x interpolated ACF (timefrequency.py:305-318).
-- denoise/reconstruct: periodized DWT soft-threshold denoising and inverse
-  CWT reconstruction (timefrequency.py:151-167).
+- ``WPS``: one jitted kernel computes the complex-Morlet CWT (batched XLA
+  FFT pipeline from ops.wavelet), squared magnitude, Liu et al. (2007)
+  scale-unbiasing, the cone-of-influence mask, and the NaN-masked spectrum
+  in a single fused program. SAV/GWPS band averages are masked jnp
+  reductions.
+- ``HHT``: modes are stacked into one [n_modes, N] array and pushed through
+  a vmapped jitted instantaneous-frequency pipeline (ops.hht): AM/FM
+  normalization as a lax.while_loop, DQ/NHT/TEO/HT phase differentiation,
+  and a batched scatter spectrogram.
+- ``CompositeSpectrum``: GWPS x on-device interpolated ACF (reference
+  timefrequency.py:305-318).
+- ``denoise``: single-jit soft-threshold DWT with generated db1-db20 /
+  sym2-sym20 filter banks (reference timefrequency.py:151-159 delegates to
+  PyWavelets).
 """
 
-import warnings
-
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..core import TFSeries, TSeries
+from ..core import FSeries, TFSeries, TSeries
+from ..ops import hht as _ops_hht
 from ..ops import wavelet as _wav
 from .decomposition import EMD, LMD
 
 __all__ = ["WPS", "HHT", "CompositeSpectrum", "denoise", "reconstruct"]
 
+_IF_METHODS = ("DQ", "NHT", "TEO", "HT")
+_NORM_TYPES = ("hilbert", "spline", "lmd")
+
 
 class HHT:
-    """Hilbert-Huang Transform (reference timefrequency.py:14-148)."""
+    """Hilbert-Huang Transform (capability parity with reference
+    timefrequency.py:14-148).
+
+    A pluggable decomposition (``emd``, default :class:`EMD`) extracts
+    AM-FM modes; each mode's instantaneous frequency/amplitude and the
+    scatter spectrogram are computed by one vmapped jitted kernel.
+
+    After ``__call__``: ``modes``, ``instant_fs``, ``instant_as``, ``tfs``
+    (per-mode spectrograms) and ``tf`` (their sum) are set.
+    """
 
     def __init__(
         self,
@@ -40,134 +56,175 @@ class HHT:
         norm_iter=10,
         smooth_width=None,
     ):
-        self.frequencies = np.sort(np.asarray(frequencies))
-        if emd is None:
-            emd = EMD()
-        self.emd = emd
-        if method.upper() not in ["DQ", "NHT", "TEO", "HT"]:
+        self.frequencies = np.sort(np.asarray(frequencies, float))
+        self.emd = emd if emd is not None else EMD()
+        if method.upper() not in _IF_METHODS:
             raise ValueError(f"Method {method} is unknown.")
-        self.method = method.upper()
-        if norm_type.lower() not in ["hilbert", "spline", "lmd"]:
+        if norm_type.lower() not in _NORM_TYPES:
             raise ValueError(f"Method {norm_type} is unknown.")
+        self.method = method.upper()
         self.norm_type = norm_type.lower()
         self.norm_iter = norm_iter
         self.smooth_width = smooth_width
 
-    def _normalize(self, mode, eps=1e-6, pad_width=2):
-        """Iterative AM/FM splitting (Huang et al. 2009;
-        reference timefrequency.py:71-89)."""
-        F = mode.copy()
-        A = 1.0
-        for _ in range(self.norm_iter):
-            if self.norm_type == "hilbert":
-                env = np.abs(np.asarray(_wav.hilbert(F.values)))
-            elif self.norm_type == "spline":
-                env, _ = abs(F).get_envelope(pad_width=pad_width)
-            else:  # lmd
-                lmd = LMD(pad_width=pad_width)
-                mu, env = lmd.sift(F)
-                F = F - mu
-            F = F / env
-            A = A * env
-            if float(np.max(np.abs(np.asarray(F.values)))) - 1.0 < eps:
-                break
-        F = TSeries(F.time, jnp.clip(F.values, -1.0, 1.0), assume_sorted=True)
-        return A, F
+    # -- normalization fallback for the eager LMD backend ------------------
+    def _lmd_normalize(self, mode, eps=1e-6, pad_width=2):
+        """AM/FM splitting with single LMD sifts as the envelope estimator.
 
-    def _spectrogram(self, freq_grid, freq, amp):
-        tshape = len(freq)
-        fshape = len(freq_grid)
-        power = np.zeros((fshape, tshape), float)
-        f_bins = np.clip(np.searchsorted(freq_grid, freq), 0, fshape - 1)
-        power[f_bins, np.arange(tshape)] += amp
-        power[[0, -1]] = 0
-        return TFSeries(time=self.signal.time, frequency=freq_grid, values=power)
+        LMD sifting is host-orchestrated by design (see
+        models/decomposition.py), so this backend stays eager; the phase
+        differentiation still runs in the jitted kernels.
+        """
+        fm = mode
+        amp = None
+        for _ in range(self.norm_iter):
+            mean, env = LMD(pad_width=pad_width).sift(fm)
+            fm = (fm - mean) / env
+            amp = env if amp is None else amp * env
+            if float(jnp.max(jnp.abs(fm.values))) - 1.0 < eps:
+                break
+        fm_values = jnp.clip(jnp.asarray(fm.values), -1.0, 1.0)
+        amp_values = (
+            jnp.asarray(amp.values) if amp is not None
+            else jnp.ones_like(fm_values)
+        )
+        return amp_values, fm_values
+
+    def _per_mode_if(self, t, mode_stack):
+        """[M, N] mode values -> ([M, N] frequencies, [M, N] amplitudes)."""
+        if self.norm_type == "lmd" and self.method in ("DQ", "NHT"):
+            phase_fn = (
+                _ops_hht.dq_frequency
+                if self.method == "DQ"
+                else _ops_hht.nht_frequency
+            )
+            freqs, amps = [], []
+            for values in mode_stack:
+                amp, fm = self._lmd_normalize(TSeries(t, values))
+                freqs.append(phase_fn(t, fm))
+                amps.append(amp)
+            return jnp.stack(freqs), jnp.stack(amps)
+
+        def one(values):
+            return _ops_hht.instant_frequency(
+                t,
+                values,
+                method=self.method,
+                norm_type=self.norm_type,
+                n_iter=self.norm_iter,
+            )
+
+        return jax.vmap(one)(mode_stack)
 
     def __call__(self, signal):
         if not isinstance(signal, TSeries):
             signal = TSeries(values=signal)
         self.signal = signal
-        t = np.asarray(signal.time)
-        f, a, tfs = [], [], []
+        t = jnp.asarray(signal.time)
+        grid = jnp.asarray(self.frequencies)
+
         modes = self.emd(signal)
-        for mode in modes:
-            if not np.any(np.asarray(mode.values)):
-                continue
-            if self.method == "DQ":
-                A, F = self._normalize(mode)
-                amp = np.asarray(A.values) if hasattr(A, "values") else np.full(t.size, A)
-                Fv = np.asarray(F.values)
-                phi = np.arctan2(np.sqrt(np.maximum(1 - Fv**2, 0.0)), Fv)
-                corr = np.sign(np.gradient(phi))
-                phi = np.unwrap(phi * corr)
-                freq = np.gradient(phi, t) / (2 * np.pi)
-            elif self.method == "NHT":
-                A, F = self._normalize(mode)
-                amp = np.asarray(A.values) if hasattr(A, "values") else np.full(t.size, A)
-                phi = np.unwrap(np.angle(np.asarray(_wav.hilbert(F.values))))
-                freq = np.gradient(phi, t) / (2 * np.pi)
-            elif self.method == "TEO":
-                teo_x = np.asarray(signal.TEO.values)
-                teo_xdot = np.asarray(signal.derivative.TEO.values)
-                amp = teo_x / np.sqrt(teo_xdot)
-                freq = np.sqrt(teo_xdot / teo_x) / (2 * np.pi)
-            else:  # HT
-                analytic = np.asarray(_wav.hilbert(signal.values))
-                amp = np.abs(analytic)
-                phi = np.unwrap(np.angle(analytic))
-                freq = np.gradient(phi, t) / (2 * np.pi)
-            freq = TSeries(signal.time, freq, assume_sorted=True)
-            amp = TSeries(signal.time, amp, assume_sorted=True)
-            if self.smooth_width is not None:
-                freq = freq.smooth(self.smooth_width)
-                amp = amp.smooth(self.smooth_width)
-            f.append(freq)
-            a.append(amp)
-            tfs.append(
-                self._spectrogram(
-                    self.frequencies, np.asarray(freq.values), np.asarray(amp.values)
-                )
+        live = [m for m in modes if bool(jnp.any(m.values != 0))]
+
+        if self.method in ("TEO", "HT"):
+            # Computed from the raw signal, so identical for every mode
+            # (reference timefrequency.py:123-134 behavior).
+            freq, amp = _ops_hht.instant_frequency(
+                t, jnp.asarray(signal.values), method=self.method
             )
+            n_live = max(len(live), 1)
+            freq_stack = jnp.broadcast_to(freq, (n_live,) + freq.shape)
+            amp_stack = jnp.broadcast_to(amp, (n_live,) + amp.shape)
+        elif live:
+            stack = jnp.stack([jnp.asarray(m.values) for m in live])
+            freq_stack, amp_stack = self._per_mode_if(t, stack)
+        else:
+            freq_stack = jnp.zeros((0, t.shape[0]))
+            amp_stack = jnp.zeros((0, t.shape[0]))
+
+        instant_fs = [
+            TSeries(t, f, assume_sorted=True) for f in freq_stack
+        ]
+        instant_as = [
+            TSeries(t, a, assume_sorted=True) for a in amp_stack
+        ]
+        if self.smooth_width is not None:
+            instant_fs = [f.smooth(self.smooth_width) for f in instant_fs]
+            instant_as = [a.smooth(self.smooth_width) for a in instant_as]
+            freq_stack = jnp.stack([f.values for f in instant_fs])
+            amp_stack = jnp.stack([a.values for a in instant_as])
+
+        if freq_stack.shape[0]:
+            power = jax.vmap(
+                lambda f, a: _ops_hht.spectrogram(grid, f, a)
+            )(freq_stack, amp_stack)
+            tfs = [
+                TFSeries(time=t, frequency=grid, values=p) for p in power
+            ]
+            tf = TFSeries(
+                time=t, frequency=grid, values=jnp.sum(power, axis=0)
+            )
+        else:
+            tfs, tf = [], None
+
         self.modes = modes
-        self.instant_fs = f
-        self.instant_as = a
+        self.instant_fs = instant_fs
+        self.instant_as = instant_as
         self.tfs = tfs
-        self.tf = sum(tfs) if tfs else None
-        return self.tf
+        self.tf = tf
+        return tf
 
 
 def denoise(data, family="db4", sigma=None, detrend=False):
-    """DWT soft-threshold denoising (reference timefrequency.py:151-159)."""
-    coefs = _wav.wavedec(np.asarray(data), family)
-    threshold = sigma * np.sqrt(2 * np.log(len(data)))
-    new_coefs = list(coefs)
-    if detrend:
-        new_coefs[0] = np.zeros_like(new_coefs[0])
-    new_coefs[1:] = [_wav.soft_threshold(c, threshold) for c in coefs[1:]]
-    y = _wav.waverec(new_coefs, family)
-    return y[: len(np.asarray(data))]
+    """Soft-threshold DWT denoising with the universal (VisuShrink)
+    threshold sigma * sqrt(2 ln N), optionally zeroing the approximation
+    band to detrend (capability parity with reference
+    timefrequency.py:151-159). Runs as one jitted program."""
+    x = jnp.asarray(data)
+    threshold = float(sigma) * float(np.sqrt(2.0 * np.log(x.shape[0])))
+    return _wav.dwt_denoise(x, threshold, family=family, detrend=detrend)
 
 
 def reconstruct(coefs, periods, dt, family):
-    """Inverse CWT via the delta-function reconstruction
-    (reference timefrequency.py:162-167)."""
-    scales = _wav.scale2frequency(family, 1) * np.asarray(periods) / dt
-    y_0 = _wav.psi_zero("morl")
-    r_sum = np.transpose(np.sum(np.transpose(np.asarray(coefs)) / scales**0.5, axis=-1))
-    return r_sum * (1 / y_0)
+    """Delta-function inverse CWT: sum over scales of coefs/sqrt(scale),
+    normalized by psi(0) of the real Morlet (capability parity with
+    reference timefrequency.py:162-167)."""
+    scales = jnp.asarray(
+        _wav.scale2frequency(family, 1) * np.asarray(periods) / dt
+    )
+    summed = jnp.sum(jnp.asarray(coefs) / jnp.sqrt(scales)[:, None], axis=0)
+    return summed / _wav.psi_zero("morl")
+
+
+def _coi_correction():
+    """e-folding half-width of the cmor2.0-1.0 cone: sqrt(2) periods."""
+    return float(np.exp2(0.5))
+
+
+@jax.jit
+def _wps_postprocess(coefs, scales, periods, t):
+    """Fused magnitude/unbias/COI stage of the WPS pipeline."""
+    power = jnp.square(jnp.abs(coefs))
+    unbiased = power / scales[:, None]
+    reach = jnp.minimum(t - t[0], t[-1] - t)
+    in_cone = _coi_correction() * periods[:, None] < reach[None, :]
+    masked = jnp.where(in_cone, unbiased, jnp.nan)
+    return power, unbiased, in_cone, masked
 
 
 class WPS:
-    """Morlet Wavelet Power Spectrum (reference timefrequency.py:170-302).
+    """Morlet (cmor2.0-1.0) wavelet power spectrum (capability parity with
+    reference timefrequency.py:170-302).
 
-    Attributes after __call__: signal, time, scales, power, spectrum,
-    mask_coi, masked_spectrum; methods sav/masked_sav/gwps/masked_gwps/coi.
+    The CWT + unbiasing + COI masking is one fused device computation; the
+    reference instead dispatches to pywt's conv-or-fft paths and masks with
+    host numpy.
     """
 
     FAMILY = "cmor2.0-1.0"
 
     def __init__(self, periods):
-        self.periods = np.asarray(periods)
+        self.periods = np.asarray(periods, float)
         self.frequency = 1.0 / self.periods
 
     def __call__(self, signal):
@@ -175,102 +232,112 @@ class WPS:
             signal = TSeries(values=signal)
         dt = float(signal.median_dt)
         scales = _wav.scale2frequency(self.FAMILY, 1) * self.periods / dt
+
         coefs = _wav.cwt_morlet(
             signal.values - signal.mean(), scales, self.FAMILY, dt=dt
         )
-        self.coefs = coefs
-        power = jnp.square(jnp.abs(coefs))
-        unbiased = power / jnp.asarray(scales)[:, None]
+        power, unbiased, in_cone, masked = _wps_postprocess(
+            coefs,
+            jnp.asarray(scales),
+            jnp.asarray(self.periods),
+            jnp.asarray(signal.time),
+        )
+
         self.signal = signal
         self.time = signal.time
         self.scales = scales
-        self.power = TFSeries(time=self.time, frequency=self.frequency, values=power)
+        self.coefs = coefs
+        self._in_cone = in_cone
+        self.power = TFSeries(
+            time=self.time, frequency=self.frequency, values=power
+        )
         self.spectrum = TFSeries(
             time=self.time, frequency=self.frequency, values=unbiased
         )
-        mask = self.mask_coi
         self.masked_spectrum = TFSeries(
-            time=self.time,
-            frequency=self.frequency,
-            values=jnp.where(jnp.asarray(mask), unbiased, jnp.nan),
+            time=self.time, frequency=self.frequency, values=masked
         )
         return self.spectrum
 
-    def coi(self, coi_samples=100):
-        """Cone-of-influence boundary samples for plotting
-        (reference timefrequency.py:237-254)."""
-        corr = np.exp2(0.5)
-        t = np.asarray(self.time)
-        t_max, t_min = t.max(), t.min()
-        p_samples = np.logspace(
-            np.log10(self.periods.min()), np.log10(self.periods.max()), coi_samples
-        )
-        p_samples = p_samples[corr * p_samples < (t_max - t_min) / 2]
-        t1 = t_min + corr * p_samples
-        t2 = t_max - corr * p_samples
-        return TSeries(
-            np.hstack((t1, t2)), np.hstack((p_samples, p_samples))
-        )
-
+    # -- cone of influence --------------------------------------------------
     @property
     def mask_coi(self):
-        corr = np.exp2(0.5)
+        """Boolean [n_periods, n_times]: True inside the cone."""
+        return np.asarray(self._in_cone)
+
+    def coi(self, coi_samples=100):
+        """Boundary samples of the cone for plotting: the locus where a
+        period's e-folding reach meets the data span, log-spaced in period
+        and mirrored about the series midpoint."""
+        corr = _coi_correction()
         t = np.asarray(self.time)
-        t_mesh, p_mesh = np.meshgrid(t, self.periods)
-        return corr * p_mesh < np.minimum(t_mesh - t.min(), t.max() - t_mesh)
-
-    def _band_mask(self, pmin, pmax):
-        mask = np.ones(len(self.periods), bool)
-        if pmin is not None:
-            mask &= self.periods >= pmin
-        if pmax is not None:
-            mask &= self.periods <= pmax
-        return mask
-
-    def sav(self, pmin=None, pmax=None):
-        """Scale-averaged variance over a period band
-        (reference timefrequency.py:264-270)."""
-        mask = self._band_mask(pmin, pmax)
-        return self.spectrum[mask].mean("frequency")
-
-    def masked_sav(self, pmin=None, pmax=None):
-        mask = self._band_mask(pmin, pmax)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            return self.masked_spectrum[mask].mean("frequency")
-
-    def _time_mask(self, tmin, tmax):
-        t = np.asarray(self.time)
-        mask = np.ones(t.size, bool)
-        if tmin is not None:
-            mask &= t >= tmin
-        if tmax is not None:
-            mask &= t <= tmax
-        return mask
-
-    def gwps(self, tmin=None, tmax=None):
-        """Global wavelet power spectrum (time average;
-        reference timefrequency.py:282-288)."""
-        mask = self._time_mask(tmin, tmax)
-        return self.spectrum[:, mask].mean("time")
-
-    def masked_gwps(self, tmin=None, tmax=None):
-        mask = self._time_mask(tmin, tmax)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            return self.masked_spectrum[:, mask].mean("time")
+        span = t.max() - t.min()
+        p = np.logspace(
+            np.log10(self.periods.min()),
+            np.log10(self.periods.max()),
+            coi_samples,
+        )
+        p = p[corr * p < span / 2]
+        edges = np.concatenate([t.min() + corr * p, t.max() - corr * p])
+        return TSeries(edges, np.concatenate([p, p]))
 
     def plot_coi(self, coi_samples=100, **kwargs):
         import matplotlib.pyplot as plt
 
-        coi = self.coi(coi_samples)
+        boundary = self.coi(coi_samples)
         plt.fill_between(
-            np.asarray(coi.time), np.asarray(coi.values), self.periods.max(), **kwargs
+            np.asarray(boundary.time),
+            np.asarray(boundary.values),
+            self.periods.max(),
+            **kwargs,
         )
+
+    # -- band averages -------------------------------------------------------
+    def _rows(self, pmin, pmax):
+        lo = -np.inf if pmin is None else pmin
+        hi = np.inf if pmax is None else pmax
+        return jnp.asarray((self.periods >= lo) & (self.periods <= hi))
+
+    def _cols(self, tmin, tmax):
+        t = jnp.asarray(self.time)
+        lo = -jnp.inf if tmin is None else tmin
+        hi = jnp.inf if tmax is None else tmax
+        return (t >= lo) & (t <= hi)
+
+    def sav(self, pmin=None, pmax=None):
+        """Scale-averaged variance: mean unbiased power over a period band
+        (reference timefrequency.py:264-270)."""
+        sel = self._rows(pmin, pmax)
+        vals = jnp.asarray(self.spectrum.values)
+        avg = jnp.sum(jnp.where(sel[:, None], vals, 0.0), axis=0) / jnp.sum(sel)
+        return TSeries(self.time, avg, assume_sorted=True)
+
+    def masked_sav(self, pmin=None, pmax=None):
+        """SAV over in-cone values only (NaN-aware mean)."""
+        sel = self._rows(pmin, pmax)
+        vals = jnp.asarray(self.masked_spectrum.values)
+        avg = jnp.nanmean(jnp.where(sel[:, None], vals, jnp.nan), axis=0)
+        return TSeries(self.time, avg, assume_sorted=True)
+
+    def gwps(self, tmin=None, tmax=None):
+        """Global wavelet power spectrum: time-mean of the unbiased power
+        (reference timefrequency.py:282-288)."""
+        sel = self._cols(tmin, tmax)
+        vals = jnp.asarray(self.spectrum.values)
+        avg = jnp.sum(jnp.where(sel[None, :], vals, 0.0), axis=1) / jnp.sum(sel)
+        return FSeries(self.frequency, avg)
+
+    def masked_gwps(self, tmin=None, tmax=None):
+        sel = self._cols(tmin, tmax)
+        vals = jnp.asarray(self.masked_spectrum.values)
+        avg = jnp.nanmean(jnp.where(sel[None, :], vals, jnp.nan), axis=1)
+        return FSeries(self.frequency, avg)
 
 
 class CompositeSpectrum:
-    """GWPS x ACF composite spectrum (reference timefrequency.py:305-318)."""
+    """Product of the max-normalized GWPS with the ACF of the gap-filled
+    signal, interpolated onto the GWPS period grid (capability parity with
+    reference timefrequency.py:305-318)."""
 
     def __init__(self, periods):
         self.periods = periods
@@ -280,10 +347,12 @@ class CompositeSpectrum:
         if not isinstance(signal, TSeries):
             signal = TSeries(values=signal)
         self.wps(signal)
-        gwps = self.wps.spectrum.mean("time")
+        gwps = self.wps.gwps()
         gwps = gwps / gwps.amax()
-        ryy = signal.fill_gaps().acf()
-        cs = gwps * np.interp(
-            np.asarray(gwps.period), np.asarray(ryy.time), np.asarray(ryy.values)
+        acf = signal.fill_gaps().acf()
+        acf_on_grid = jnp.interp(
+            jnp.asarray(gwps.period),
+            jnp.asarray(acf.time),
+            jnp.asarray(acf.values),
         )
-        return cs
+        return gwps * acf_on_grid

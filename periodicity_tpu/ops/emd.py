@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from . import peaks as _peaks
 from . import spline as _spline
 
-__all__ = ["sift", "emd_iter", "EMDConfig"]
+__all__ = ["sift", "emd_iter", "upper_envelope", "EMDConfig"]
 
 
 def _compact_with_edges(t, x, mask, cap):
@@ -160,6 +160,23 @@ def sift(t, x, pad_width=2):
     amp = (upper - lower) / 2
     sigma = jnp.abs(mu / amp)
     return mu, sigma, n_ext, n_zero, ok
+
+
+@partial(jax.jit, static_argnames=("pad_width",))
+def upper_envelope(t, x, pad_width=2):
+    """Cubic-spline envelope through the local maxima of ``x`` (edges
+    included as knots, odd-reflection padded by ``pad_width`` extrema).
+
+    The jitted building block for HHT amplitude normalization (reference
+    timefrequency.py:79 uses get_envelope of ``abs(F)``); vmaps over a
+    leading mode axis.
+    """
+    n = t.shape[0]
+    cap = n // 2 + 2
+    mask = _peaks.local_maxima_mask(x)
+    et, ev, m = _compact_with_edges(t, x, mask, cap)
+    pt, pv, cnt = _pad_reflect_drop(et, ev, m, pad_width)
+    return _spline.spline_interp(pt, pv, t, count=jnp.maximum(cnt, 4))
 
 
 @partial(jax.jit, static_argnames=("max_iter", "pad_width"))

@@ -1,0 +1,114 @@
+"""Aux-subsystem wiring tests (SURVEY §5.4-5.5): checkpoint/resume of the
+ensemble sampler and structured event logging from estimators."""
+
+import json
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from periodicity_tpu.core import TSeries
+from periodicity_tpu.models.gp.mcmc import (
+    run_ensemble_checkpointed,
+)
+from periodicity_tpu.utils.logging import get_logger, log_event, set_verbosity
+
+
+def _log_prob(u):
+    return -0.5 * jnp.sum(u**2)
+
+
+def test_mcmc_checkpoint_resume_identical_samples(tmp_path):
+    """A run killed mid-chain and resumed from its checkpoint reproduces the
+    uninterrupted run's samples exactly."""
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (8, 2))
+
+    full_chain, full_lps, full_acc = run_ensemble_checkpointed(
+        _log_prob, x0, key, n_steps=50, checkpoint_every=10
+    )
+
+    ckpt = str(tmp_path / "mcmc.npz")
+
+    # simulate a kill: run only the first 3 chunks, then abandon the process
+    partial_chain, _, _ = run_ensemble_checkpointed(
+        _log_prob, x0, key, n_steps=30, checkpoint_every=10,
+        checkpoint_path=ckpt,
+    )
+    assert partial_chain.shape == (30, 8, 2)
+
+    # resume: same call as the full run, picking up from the checkpoint
+    resumed_chain, resumed_lps, resumed_acc = run_ensemble_checkpointed(
+        _log_prob, x0, key, n_steps=50, checkpoint_every=10,
+        checkpoint_path=ckpt,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed_chain), np.asarray(full_chain)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed_lps), np.asarray(full_lps)
+    )
+    assert resumed_acc == pytest.approx(full_acc, abs=1e-12)
+
+
+def test_mcmc_checkpointed_matches_itself_without_path():
+    """checkpoint_path=None gives the same chunked-deterministic samples."""
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(jax.random.PRNGKey(6), (6, 3))
+    c1, _, _ = run_ensemble_checkpointed(_log_prob, x0, key, 25,
+                                         checkpoint_every=10)
+    c2, _, _ = run_ensemble_checkpointed(_log_prob, x0, key, 25,
+                                         checkpoint_every=10)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+class _Capture(logging.Handler):
+    def __init__(self):
+        super().__init__()
+        self.events = []
+
+    def emit(self, record):
+        self.events.append(json.loads(record.getMessage()))
+
+
+@pytest.fixture
+def captured_events():
+    logger = get_logger()
+    handler = _Capture()
+    logger.addHandler(handler)
+    old_level = logger.level
+    set_verbosity("info")
+    yield handler.events
+    logger.removeHandler(handler)
+    logger.setLevel(old_level)
+
+
+def test_estimators_emit_log_events(captured_events):
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 30, 200))
+    y = np.sin(2 * np.pi * t / 3.0) + 0.1 * rng.standard_normal(200)
+    sig = TSeries(t, y)
+
+    from periodicity_tpu.spectral import GLS
+    from periodicity_tpu.phase import PDM, StringLength
+    from periodicity_tpu.decomposition import EMD
+
+    GLS()(sig)
+    PDM(n_periods=50)(sig)
+    StringLength(n_periods=50)(sig)
+    EMD(max_iter=10)(sig, max_modes=1)
+
+    names = [e["event"] for e in captured_events]
+    for expected in ("gls", "pdm", "string_length", "emd", "emd_done"):
+        assert expected in names, names
+    gls_event = next(e for e in captured_events if e["event"] == "gls")
+    assert gls_event["n"] == 200 and gls_event["nf"] > 0
+
+
+def test_logging_quiet_by_default(capsys):
+    logger = get_logger()
+    assert logger.level == logging.WARNING or logger.level == 0
+    log_event("should_not_appear", x=1)
+    assert "should_not_appear" not in capsys.readouterr().err

@@ -199,3 +199,52 @@ def test_smoothing_spline_matches_scipy_and_s_criterion():
     exact = TSeries(x, y).interp(xe, method="spline")
     rough0 = np.sum(np.diff(np.asarray(exact.values), 2) ** 2)
     assert rough < rough0
+
+
+def test_fill_gaps_matches_cursor_semantics():
+    """Vectorized fill_gaps inserts exactly the timestamps a stepping cursor
+    would (reference core.py:703-715)."""
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(0, 50, 300))
+    ts = TSeries(t, rng.standard_normal(300))
+    dt = float(ts.median_dt)
+    expected = [t[0]]
+    for ti in t[1:]:
+        prev = expected[-1]
+        while (ti - prev) > 1.2 * dt:
+            expected.append(prev + dt)
+            prev = expected[-1]
+        expected.append(ti)
+    expected = np.asarray(expected)
+    got = np.asarray(ts.fill_gaps().time)
+    assert got.size == expected.size
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+def test_downsample_vectorized_matches_per_bin_loop():
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 100, 5000))
+    v = rng.standard_normal(5000)
+    v[rng.integers(0, 5000, 200)] = np.nan
+    ts = TSeries(t, v)
+    for func in (None, np.median, np.max):
+        ds = ts.downsample(2.5, func=func)
+        labels = np.arange(t.min(), t.max(), 2.5)
+        edges = np.linspace(t.min(), t.max(), labels.size + 1)
+        edges[0] -= 1e-9 * (t.max() - t.min())
+        which = np.clip(
+            np.searchsorted(edges, t, side="left") - 1, 0, labels.size - 1
+        )
+        out = np.full(labels.size, np.nan)
+        for b in range(labels.size):
+            vb = v[which == b]
+            vb = vb[~np.isnan(vb)]
+            if vb.size:
+                out[b] = (func or np.mean)(vb)
+        keep = ~np.isnan(out)
+        np.testing.assert_allclose(
+            np.asarray(ds.values), out[keep], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ds.time), labels[keep], atol=1e-12
+        )
