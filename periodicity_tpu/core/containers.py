@@ -697,7 +697,11 @@ class TSeries(Signal):
                 float(self._time.min()), float(self._time.max()), float(self.median_dt)
             )
         new_time = jnp.asarray(new_time)
-        if method in ("spline", "cubic"):
+        if method == "quadratic":
+            new_values = _spline.quadratic_spline_interp(
+                self._time, self._values, new_time
+            )
+        elif method in ("spline", "cubic"):
             s = kwargs.pop("s", 0)
             if s:
                 new_values = _spline.smoothing_spline_interp(
@@ -1256,3 +1260,15 @@ class TFSeries(Signal):
 
     def contourf(self, *args, **kwargs):
         return self._plot2d("contourf", *args, **kwargs)
+
+    def surface(self, *args, **kwargs):
+        """3-D surface plot of the spectrogram (reference core.py:1177)."""
+        import matplotlib.pyplot as plt
+
+        ax = plt.gcf().add_subplot(projection="3d")
+        t_mesh, f_mesh = np.meshgrid(
+            np.asarray(self._time), np.asarray(self._frequency)
+        )
+        return ax.plot_surface(
+            t_mesh, f_mesh, np.asarray(self._values), *args, **kwargs
+        )

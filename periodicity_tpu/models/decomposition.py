@@ -272,6 +272,14 @@ class CEEMDAN:
         noise_modes, noise_counts = self._noise_modes(t, noise, max_modes_cap)
         m_cap = noise_modes.shape[1]
 
+        bar = None
+        if progress:
+            from tqdm.auto import tqdm
+
+            bar = tqdm(
+                total=None if np.isinf(max_modes) else int(max_modes),
+                desc="CEEMDAN modes",
+            )
         imfs = []
         residue = signal / sigma_x
         while len(imfs) < max_modes:
@@ -297,6 +305,8 @@ class CEEMDAN:
             mu = jnp.mean(local_means, axis=0)
             imfs.append(residue - TSeries(t, mu, assume_sorted=True))
             residue = TSeries(t, mu, assume_sorted=True)
+            if bar is not None:
+                bar.update(1)
 
             if float(np.var(residue)) < self.min_energy:
                 break
@@ -306,6 +316,8 @@ class CEEMDAN:
                     imfs.append(residue)
                 break
 
+        if bar is not None:
+            bar.close()
         imfs = [imf * sigma_x for imf in imfs]
         self.signal = signal
         self.modes = imfs

@@ -72,7 +72,8 @@ def run_ensemble(log_prob_fn, x0, key, n_steps, a=2.0):
 
 
 def run_ensemble_checkpointed(log_prob_fn, x0, key, n_steps, a=2.0,
-                              checkpoint_path=None, checkpoint_every=100):
+                              checkpoint_path=None, checkpoint_every=100,
+                              progress=False):
     """Chunked ensemble sampler with save/resume (SURVEY §5.4).
 
     Runs ``run_ensemble`` in chunks of ``checkpoint_every`` steps, saving
@@ -110,7 +111,13 @@ def run_ensemble_checkpointed(log_prob_fn, x0, key, n_steps, a=2.0,
         lps = saved["lps"]
         acc_steps = saved["acc_steps"]
 
-    for i in range(start, n_chunks):
+    chunk_iter = range(start, n_chunks)
+    if progress:
+        from tqdm.auto import tqdm
+
+        chunk_iter = tqdm(chunk_iter, total=n_chunks, initial=start,
+                          desc="MCMC chunks")
+    for i in chunk_iter:
         steps = min(checkpoint_every, n_steps - i * checkpoint_every)
         c, l, acc = run_ensemble(log_prob_fn, x, keys[i], steps, a=a)
         chain = np.concatenate([chain, np.asarray(c)])

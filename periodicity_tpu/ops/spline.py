@@ -24,6 +24,7 @@ __all__ = [
     "spline_derivatives",
     "spline_eval",
     "spline_interp",
+    "quadratic_spline_interp",
     "smoothing_spline_values",
     "smoothing_spline_eval",
     "smoothing_spline_interp",
@@ -157,6 +158,69 @@ def spline_interp(x, y, xnew, count=None):
     """Not-a-knot cubic spline interpolation (== scipy splrep(s=0)/splev)."""
     s = spline_derivatives(x, y, count=count)
     return spline_eval(x, y, s, xnew, count=count)
+
+
+def _quadratic_bspline_basis(knots, x):
+    """The three nonzero degree-2 B-spline values at x.
+
+    Returns (j0 [M], b [M, 3]) with b[:, r] the value of basis j0 + r.
+    Unrolled de Boor recurrence; 0/0 conventions handled with safe
+    denominators.
+    """
+    n_knots = knots.shape[0]
+    ind = jnp.clip(
+        jnp.searchsorted(knots, x, side="right") - 1, 2, n_knots - 4
+    )
+
+    def basis_step(bs, degree):
+        # bs[r] = B[ind - degree + 1 + r, degree - 1], r < degree
+        out = []
+        for r in range(degree + 1):
+            j = ind - degree + r
+            left = bs[r - 1] if r > 0 else jnp.zeros_like(x)
+            right = bs[r] if r < degree else jnp.zeros_like(x)
+            tj = knots[j]
+            tjd = knots[jnp.clip(j + degree, 0, n_knots - 1)]
+            tj1 = knots[jnp.clip(j + 1, 0, n_knots - 1)]
+            tjd1 = knots[jnp.clip(j + degree + 1, 0, n_knots - 1)]
+            d1 = tjd - tj
+            d2 = tjd1 - tj1
+            a = jnp.where(d1 > 0, (x - tj) / jnp.where(d1 > 0, d1, 1.0), 0.0)
+            c = jnp.where(d2 > 0, (tjd1 - x) / jnp.where(d2 > 0, d2, 1.0), 0.0)
+            out.append(a * left + c * right)
+        return out
+
+    b0 = [jnp.ones_like(x)]
+    b1 = basis_step(b0, 1)
+    b2 = basis_step(b1, 2)
+    return ind - 2, jnp.stack(b2, axis=-1)
+
+
+def quadratic_spline_interp(x, y, xnew):
+    """Quadratic (k=2) B-spline interpolation with midpoint interior knots
+    (scipy make_interp_spline(k=2) / interp1d(kind="quadratic") parity).
+
+    The collocation system is tridiagonal for this knot layout, so the
+    coefficients come from one Thomas-scan solve; jittable and vmappable.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    mids = 0.5 * (x[1:-2] + x[2:-1])
+    knots = jnp.concatenate(
+        [jnp.repeat(x[0], 3), mids, jnp.repeat(x[-1], 3)]
+    )
+    j0, basis = _quadratic_bspline_basis(knots, x)
+    # with midpoint knots, row i's nonzero columns are j0[i] + (0, 1, 2)
+    # centered on i: offsets j0 + r - i land in {-1, 0, 1}
+    offs = j0[:, None] + jnp.arange(3)[None, :] - jnp.arange(n)[:, None]
+    lower = jnp.sum(jnp.where(offs == -1, basis, 0.0), axis=1)
+    diag = jnp.sum(jnp.where(offs == 0, basis, 0.0), axis=1)
+    upper = jnp.sum(jnp.where(offs == 1, basis, 0.0), axis=1)
+    coefs = tridiagonal_solve(lower, diag, upper, y)
+    j0n, basis_n = _quadratic_bspline_basis(knots, xnew)
+    cols = j0n[:, None] + jnp.arange(3)[None, :]
+    return jnp.sum(coefs[jnp.clip(cols, 0, n - 1)] * basis_n, axis=1)
 
 
 def smoothing_spline_values(x, y, lam, w=None):

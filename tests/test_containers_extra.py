@@ -248,3 +248,33 @@ def test_downsample_vectorized_matches_per_bin_loop():
         np.testing.assert_allclose(
             np.asarray(ds.time), labels[keep], atol=1e-12
         )
+
+
+def test_interp_quadratic_matches_scipy():
+    from scipy.interpolate import make_interp_spline
+
+    rng = np.random.default_rng(9)
+    x = np.sort(rng.uniform(0, 10, 60))
+    y = np.sin(x) + 0.1 * rng.standard_normal(60)
+    xe = np.linspace(x[0], x[-1], 101)
+    got = np.asarray(TSeries(x, y).interp(xe, method="quadratic").values)
+    want = make_interp_spline(x, y, k=2)(xe)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_tfseries_surface_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from periodicity_tpu.core import TFSeries
+
+    tf = TFSeries(
+        time=np.arange(16.0),
+        frequency=np.arange(8.0) + 1,
+        values=np.outer(np.arange(8.0), np.ones(16)),
+    )
+    assert tf.surface() is not None
+    plt.savefig(tmp_path / "surf.png")
+    plt.close("all")
