@@ -218,11 +218,12 @@ def config6_gls_batch():
 
     from periodicity_tpu.models.spectral import gls_power_batch
 
-    n, nf, b = 100_000, 1_000_000, 4
+    n, nf, b = 100_000, 1_000_000, 8
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 1000.0, n)).astype(np.float32)
     ys = np.stack(
-        [np.sin(2 * np.pi * t / p) for p in [5.0, 7.7, 11.0, 17.0]]
+        [np.sin(2 * np.pi * t / p)
+         for p in [5.0, 7.7, 11.0, 17.0, 23.0, 31.0, 43.0, 59.0]]
     ).astype(np.float32)
     errs = np.full((b, n), 0.3, np.float32)
     df = np.float32(0.5 / 1000.0)
@@ -241,10 +242,102 @@ def config6_gls_batch():
 
     dt = _sync_time(lambda: float(loop(ysj))) / k
     return {
-        "metric": "gls_batched_freqs_per_sec_B4_N1e5",
+        "metric": "gls_batched_freqs_per_sec_B8_N1e5",
         "value": b * nf / dt,
         "unit": "freqs/sec aggregate",
         "detail": {"ms_per_batch": dt * 1e3, "batch": b},
+    }
+
+
+def config7_gp_scaling():
+    """Celerite likelihood scaling curve: sequential-scan vs pscan solver at
+    N = 1e4 / 1e5 / 1e6 (VERDICT r1 item 6: demonstrate GP scaling, not just
+    correctness). One jitted likelihood per (solver, N); reports evals/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.gp.pscan import log_likelihood_pscan
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm
+
+    rng = np.random.default_rng(0)
+    points = {}
+    for n in (10_000, 100_000, 1_000_000):
+        t = np.sort(rng.uniform(0, 1000.0, n)).astype(np.float32)
+        y = (np.sin(2 * np.pi * t / 20.0)
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        tj = jnp.asarray(t)
+        yj = jnp.asarray(y - y.mean())
+        diag = jnp.full(n, 0.01, jnp.float32)
+        k = 5
+
+        for name, ll_fn in (("scan", log_likelihood),
+                            ("pscan", log_likelihood_pscan)):
+            @jax.jit
+            def loop(y0, ll_fn=ll_fn):
+                def body(_, carry):
+                    y0, acc = carry
+                    term = BrownianTerm(0.01, 20.0, 10.0, 0.3)
+                    ll = ll_fn(term, tj, diag, y0)
+                    return (y0 + ll * 1e-12, acc + ll)
+
+                return jax.lax.fori_loop(
+                    0, k, body, (y0, jnp.float32(0)))[1]
+
+            dt = _sync_time(lambda loop=loop: float(loop(yj))) / k
+            points[f"{name}_N{n}"] = {
+                "ms": dt * 1e3, "evals_per_sec": 1.0 / dt,
+            }
+    best_1m = max(points["scan_N1000000"]["evals_per_sec"],
+                  points["pscan_N1000000"]["evals_per_sec"])
+    return {
+        "metric": "celerite_logL_evals_per_sec_N1e6",
+        "value": best_1m,
+        "unit": "evals/sec",
+        "detail": points,
+    }
+
+
+def config8_mcmc_throughput():
+    """Full MCMC sampler throughput on the BrownianGP posterior shape:
+    walker-steps/sec for 64 walkers on the SpottedStar light curve (the
+    reference's emcee loop makes ~50k sequential C++ calls for the same
+    work, gp.py:477)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.data import SpottedStar
+    from periodicity_tpu.models.gp.mcmc import run_ensemble
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm
+
+    t, y, dy = SpottedStar()
+    tj = jnp.asarray(t, jnp.float32)
+    yj = jnp.asarray((y - y.mean()), jnp.float32)
+    diag = jnp.asarray(dy**2, jnp.float32)
+    n_walkers, n_steps = 64, 50
+
+    def log_prob(w):
+        term = BrownianTerm(0.01 * w[0], 20.0 * w[1], 10.0 * w[2], 0.3 * w[3])
+        ll = log_likelihood(term, tj, diag, yj)
+        return jnp.where(jnp.isfinite(ll), ll, -1e25)
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(0.9, 1.1, (n_walkers, 4)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        chain, lps, acc = run_ensemble(log_prob, x0, key, n_steps)
+        return float(lps[-1, 0])
+
+    dt = _sync_time(run)
+    walker_steps_per_sec = n_walkers * n_steps / dt
+    return {
+        "metric": "mcmc_walker_steps_per_sec_N2148",
+        "value": walker_steps_per_sec,
+        "unit": "walker-steps/sec",
+        "detail": {"n_walkers": n_walkers, "n_steps": n_steps,
+                   "seconds_per_run": dt},
     }
 
 
@@ -255,12 +348,14 @@ CONFIGS = {
     4: config4_phase,
     5: config5_gp,
     6: config6_gls_batch,
+    7: config7_gp_scaling,
+    8: config8_mcmc_throughput,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
     args = ap.parse_args()
     for c in [int(x) for x in args.configs.split(",")]:
         if c not in CONFIGS:

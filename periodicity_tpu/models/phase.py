@@ -54,9 +54,10 @@ def string_length_scan(t, m, periods, batch_size=128):
 
     def one(period):
         phi = (t / period) % 1.0
-        order = jnp.argsort(phi)
-        phi_s = phi[order]
-        m_s = m[order]
+        # multi-operand sort carries the magnitudes through the phase sort
+        # directly — no argsort + gather round trip (the gather is the slow
+        # half of the batched sort on TPU)
+        phi_s, m_s = jax.lax.sort((phi, m), num_keys=1)
         dm = jnp.roll(m_s, -1) - m_s
         dphi = jnp.roll(phi_s, -1) - phi_s
         return jnp.sum(jnp.hypot(dm, dphi))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import FSeries, TSeries
-from ..ops.trig_sum import gls_trig_sums, grid_size, trig_sum
+from ..ops.trig_sum import gls_trig_sums, grid_size, trig_sum, trig_sum_batch
 from ..utils.logging import log_event
 
 __all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
@@ -80,6 +80,17 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
         S2, C2 = ts(w, 2 * df, 2 * fmin)
         if fit_mean:
             S, C = ts(w, df, fmin)
+    if not fit_mean:
+        S = C = None
+    return _assemble_gls_power(
+        Sh, Ch, S2, C2, S, C,
+        jnp.dot(w, y**2), jnp.sum(err ** -2.0), fit_mean, psd,
+    )
+
+
+def _assemble_gls_power(Sh, Ch, S2, C2, S, C, YY, inv_var_sum, fit_mean, psd):
+    """Elementwise tan(2 omega tau) power assembly (reference
+    spectral.py:113-132); broadcasts over any leading batch axes."""
     if fit_mean:
         tan_2omega_tau = (S2 - 2 * S * C) / (C2 - (C * C - S * S))
     else:
@@ -88,7 +99,6 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
     S2w = tan_2omega_tau * C2w
     Cw = jnp.sqrt(0.5) * jnp.sqrt(1 + C2w)
     Sw = jnp.sqrt(0.5) * jnp.sign(S2w) * jnp.sqrt(1 - C2w)
-    YY = jnp.dot(w, y**2)
     YC = Ch * Cw + Sh * Sw
     YS = Sh * Cw - Ch * Sw
     CC = 0.5 * (1 + C2 * C2w + S2 * S2w)
@@ -98,50 +108,85 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
         SS = SS - (S * Cw - C * Sw) ** 2
     power = YC * YC / CC + YS * YS / SS
     if psd:
-        power = power * 0.5 * jnp.sum(err ** -2.0)
-    else:
-        power = power / YY
-    return power
+        return power * 0.5 * inv_var_sum
+    return power / YY
+
+
+def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd):
+    """GLS power for B light curves sharing one time grid: three batched
+    trig-sum kernels (one row-scatter each) + broadcast assembly."""
+    w = errs ** -2.0
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    if fit_mean:
+        ys = ys - jnp.sum(w * ys, axis=1, keepdims=True)
+    Sh, Ch = trig_sum_batch(t, w * ys, df, nf, fmin)
+    S2, C2 = trig_sum_batch(t, w, 2 * df, nf, 2 * fmin)
+    S = C = None
+    if fit_mean:
+        S, C = trig_sum_batch(t, w, df, nf, fmin)
+    YY = jnp.sum(w * ys**2, axis=1, keepdims=True)
+    inv_var_sum = jnp.sum(errs ** -2.0, axis=1, keepdims=True)
+    return _assemble_gls_power(
+        Sh, Ch, S2, C2, S, C, YY, inv_var_sum, fit_mean, psd
+    )
 
 
 @partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size"))
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
-                    method="fast", batch_size=None):
+                    method="fast", batch_size=8):
     """Batched GLS over many light curves sharing one time grid.
 
-    ys, errs: [B, N]. Returns power [B, nf]. Default batch_size=1 maps the
-    single-series kernel sequentially: vmapping the extirpolation scatter
-    adds a batch dimension that reverts it to the slow TPU scatter layout
-    (measured 2x slower than sequential after the f32-plane fix), while the
-    single-series kernel already saturates the chip at large nf. Shard the
-    leading axis over a mesh for multi-chip batches (SURVEY §2.2).
+    ys, errs: [B, N]. Returns power [B, nf]. The fast path processes the
+    batch in chunks of ``batch_size`` rows through ``trig_sum_batch``
+    (taps x re/im x chunk packed into one row-scatter; see
+    ops/trig_sum.py) — measured ~4.8x the aggregate throughput of mapping
+    the single-series kernel at B=8 on TPU v5e. Shard the leading axis
+    over a mesh for multi-chip batches (SURVEY §2.2).
     """
-    def one(args):
-        y, e = args
-        return gls_power(t, y, e, df, fmin, nf,
-                         fit_mean=fit_mean, psd=psd, method=method)
+    t = jnp.asarray(t)
+    ys = jnp.asarray(ys)
+    errs = jnp.asarray(errs)
+    if method != "fast":
+        def one(args):
+            y, e = args
+            return gls_power(t, y, e, df, fmin, nf,
+                             fit_mean=fit_mean, psd=psd, method=method)
 
-    # batch_size=None -> plain sequential lax.map (a size-1 vmapped batch
-    # dim already reverts the scatter to the slow layout)
-    return jax.lax.map(one, (jnp.asarray(ys), jnp.asarray(errs)),
-                       batch_size=batch_size)
+        return jax.lax.map(one, (ys, errs))
+
+    b = ys.shape[0]
+    chunk = min(batch_size or 8, b)
+    pad = (-b) % chunk
+    if pad:
+        ys = jnp.concatenate([ys, jnp.ones((pad, ys.shape[1]), ys.dtype)])
+        errs = jnp.concatenate(
+            [errs, jnp.ones((pad, errs.shape[1]), errs.dtype)]
+        )
+    groups = (b + pad) // chunk
+    ys = ys.reshape(groups, chunk, -1)
+    errs = errs.reshape(groups, chunk, -1)
+
+    def one_chunk(args):
+        y, e = args
+        return _gls_power_rows(t, y, e, df, fmin, nf, fit_mean, psd)
+
+    out = jax.lax.map(one_chunk, (ys, errs))
+    return out.reshape(groups * chunk, nf)[:b]
 
 
 @partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps"))
 def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
                       fit_mean=True, psd=False, method="fast"):
+    """Max power per resampled replicate. All replicates share the time
+    grid (reference spectral.py:144-148 resamples only values/errors), so
+    they run through the batched row-scatter kernel."""
     n = y.shape[0]
-    keys = jax.random.split(key, n_bootstraps)
-
-    def one(k):
-        idx = jax.random.randint(k, (n,), 0, n)
-        p = gls_power(t, y[idx], err[idx], df, fmin, nf,
-                      fit_mean=fit_mean, psd=psd, method=method)
-        return jnp.nanmax(p)
-
-    # sequential map: a vmapped batch dim on the extirpolation scatter
-    # reverts it to the slow TPU layout (see gls_power_batch)
-    return jax.lax.map(one, keys)
+    idx = jax.random.randint(key, (n_bootstraps, n), 0, n)
+    powers = gls_power_batch(
+        t, y[idx], err[idx], df, fmin, nf,
+        fit_mean=fit_mean, psd=psd, method=method,
+    )
+    return jnp.nanmax(powers, axis=1)
 
 
 class GLS:

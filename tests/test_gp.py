@@ -188,3 +188,37 @@ def test_pscan_modeler_path(spotted):
     m_pscan = BrownianGP(sig, err=dy, solver="pscan")
     u = np.full(6, 50.0)
     assert m_scan.nll(u) == pytest.approx(m_pscan.nll(u), rel=1e-8)
+
+
+def test_celerite_scan_float32_characterized():
+    """Characterize the celerite scan in float32 (the TPU-native dtype)
+    against float64: the log-likelihood agrees within the rtol=1e-6-scale
+    budget of the BASELINE north star across series lengths, and gradients
+    stay finite (documented in docs/performance.md)."""
+    import jax
+
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import RotationTerm
+
+    rng = np.random.default_rng(11)
+    for n in (512, 2048, 8192):
+        t = np.sort(rng.uniform(0, 100, n))
+        y = np.sin(2 * np.pi * t / 11.0) + 0.1 * rng.standard_normal(n)
+        y = y - y.mean()
+        diag = np.full(n, 0.01)
+
+        def nll(params, t, diag, y):
+            term = RotationTerm(
+                sigma=params[0], period=params[1], Q0=params[2],
+                dQ=params[3], f=params[4],
+            )
+            return log_likelihood(term, t, diag, y)
+
+        p64 = jnp.asarray([1.0, 11.0, 2.0, 1.0, 0.3])
+        ll64 = float(nll(p64, jnp.asarray(t), jnp.asarray(diag), jnp.asarray(y)))
+        args32 = [jnp.asarray(a, jnp.float32) for a in (t, diag, y)]
+        p32 = jnp.asarray(p64, jnp.float32)
+        ll32 = float(nll(p32, *args32))
+        assert abs(ll32 - ll64) / abs(ll64) < 1e-5, (n, ll32, ll64)
+        g32 = jax.grad(nll)(p32, *args32)
+        assert np.isfinite(np.asarray(g32)).all()

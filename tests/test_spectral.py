@@ -150,3 +150,36 @@ def test_fast_path_f32_accuracy_characterized():
     )
     assert np.argmax(p32) == np.argmax(p64)
     assert np.max(np.abs(p32 - p64)) < 5e-3
+
+
+def test_trig_sum_batch_matches_single():
+    from periodicity_tpu.ops.trig_sum import trig_sum, trig_sum_batch
+
+    rng = np.random.default_rng(3)
+    n, b, nf = 500, 5, 256
+    t = np.sort(rng.uniform(0, 40, n))
+    ws = rng.standard_normal((b, n))
+    df, fmin = 0.01, 0.005
+    S, C = trig_sum_batch(t, ws, df, nf, fmin)
+    for i in range(b):
+        Si, Ci = trig_sum(t, ws[i], df, nf, fmin)
+        np.testing.assert_allclose(np.asarray(S[i]), np.asarray(Si), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(C[i]), np.asarray(Ci), rtol=1e-9, atol=1e-12)
+
+
+def test_gls_power_batch_odd_batch_and_chunking():
+    """Batch sizes that don't divide the chunk exercise the padding path."""
+    from periodicity_tpu.spectral import gls_power, gls_power_batch
+
+    rng = np.random.default_rng(4)
+    n, b = 400, 5
+    t = np.sort(rng.uniform(0, 50, n))
+    ys = np.stack([np.sin(2 * np.pi * t / p) + 0.1 * rng.standard_normal(n)
+                   for p in (3.0, 5.0, 7.0, 9.0, 11.0)])
+    errs = np.full((b, n), 0.1)
+    df, fmin, nf = 0.005, 0.0025, 512
+    batch = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf,
+                                       batch_size=2))
+    for i in range(b):
+        single = np.asarray(gls_power(t, ys[i], errs[i], df, fmin, nf))
+        np.testing.assert_allclose(batch[i], single, rtol=1e-8, atol=1e-10)
