@@ -46,7 +46,9 @@ def main():
     def loop(y):
         def body(_, carry):
             y, acc = carry
-            p = gls_power(tj, y, ej, df, fmin, nf)
+            # fmin = df/2 -> conjugate-symmetry pairing: 2 scatter+FFT
+            # pipelines per periodogram instead of 3
+            p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1)
             return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
 
         return jax.lax.fori_loop(0, k_iters, body, (y, jnp.float32(0.0)))[1]

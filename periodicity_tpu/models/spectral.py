@@ -24,10 +24,18 @@ import jax
 import jax.numpy as jnp
 
 from ..core import FSeries, TSeries
-from ..ops.trig_sum import gls_trig_sums, grid_size, trig_sum, trig_sum_batch
+from ..ops.trig_sum import grid_size, trig_sum, trig_sum_batch, trig_sum_pair
 from ..utils.logging import log_event
 
 __all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
+
+
+def _pair_q(df, fmin):
+    """Static 2*fmin/df when integral (enables the conjugate-symmetry
+    trig-sum pairing; the default grid's fmin = df/2 gives q = 1)."""
+    ratio = 2.0 * float(fmin) / float(df)
+    q = int(round(ratio))
+    return q if abs(ratio - q) < 1e-9 and q >= 0 else None
 
 
 def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
@@ -42,13 +50,20 @@ def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
     return freq, df, fmin
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method"))
-def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "pair_q"))
+def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
+              pair_q=None):
     """Generalized Lomb-Scargle power on a uniform frequency grid.
 
     Pure function of (t[N], y[N], err[N]) -> power[nf]. Implements the
     floating-mean tan(2 omega tau) formulation (reference spectral.py:99-132,
     after Zechmeister & Kurster 2009 / Press & Rybicki 1989).
+
+    ``pair_q``: static integer 2*fmin/df when that ratio is integral (the
+    default grid has fmin = df/2, q = 1) — enables the conjugate-symmetry
+    pairing that computes the (wy, w) sums at (df, fmin) from one
+    extirpolation+FFT (see ops/trig_sum.trig_sum_pair); 2 pipelines per
+    periodogram instead of 3. None keeps the three separate kernels.
     """
     t = jnp.asarray(t)
     y = jnp.asarray(y)
@@ -58,13 +73,16 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast"):
         y = y - jnp.dot(w, y)
 
     if method == "fast":
-        # three separate extirpolation+FFT kernels: measured faster on TPU
-        # than a batched [3, nfft] variant (scatter into 2D operands lowers
-        # poorly); see ops/trig_sum.gls_trig_sums for the fused alternative
-        Sh, Ch = trig_sum(t, w * y, df, nf, fmin)
+        if fit_mean and pair_q is not None:
+            Sh, Ch, S, C = trig_sum_pair(t, w * y, w, df, nf, fmin, q=pair_q)
+        else:
+            # separate extirpolation+FFT kernels: measured faster on TPU
+            # than a batched [3, nfft] variant (scatter into 2D operands
+            # lowers poorly)
+            Sh, Ch = trig_sum(t, w * y, df, nf, fmin)
+            if fit_mean:
+                S, C = trig_sum(t, w, df, nf, fmin)
         S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin)
-        if fit_mean:
-            S, C = trig_sum(t, w, df, nf, fmin)
     else:
         freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
 
@@ -219,6 +237,7 @@ class GLS:
             signal.time, signal.values, self.err,
             df, fmin, nf,
             fit_mean=fit_mean, psd=self.psd, method=self.method,
+            pair_q=_pair_q(df, fmin),
         )
         self.signal = signal
         self.periodogram = FSeries(freq, power, assume_sorted=True)

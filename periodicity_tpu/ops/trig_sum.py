@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trig_sum", "trig_sum_batch", "grid_size"]
+__all__ = ["trig_sum", "trig_sum_batch", "trig_sum_pair", "grid_size"]
 
 
 def grid_size(nf, n=5):
@@ -118,6 +118,58 @@ def gls_trig_sums(t, w, wy, df, fmin, nf, nfft=None, fit_mean=True):
         g3 = fftgrid[2] * post1
         out.append((nfft * g3.imag, nfft * g3.real))
     return out
+
+
+@partial(jax.jit, static_argnames=("nf", "nfft", "q"))
+def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1):
+    """Two trig sums over REAL weights at the same grid from ONE
+    extirpolation + FFT.
+
+    When ``2*fmin/df`` is an integer ``q`` (the GLS default grid has
+    fmin = df/2, i.e. q = 1), the extirpolated spectrum of real weights is
+    conjugate-symmetric about the wrap: G[nfft - k - q] = conj(G[k]). The
+    classic two-real-FFTs-in-one trick therefore applies to the *complex
+    packed* weights u = w1 + i*w2:
+
+        G1[k] = (G[k] + conj(G[nfft - k - q])) / 2
+        G2[k] = (G[k] - conj(G[nfft - k - q])) / (2i)
+
+    This halves the scatter+FFT work of the (wy, w) pair a floating-mean
+    GLS needs at (df, fmin) — one of the three Press-Rybicki pipelines per
+    periodogram (reference spectral.py:109-112) disappears. The backward
+    branch evaluates harmonic k+q instead of k, so the extirpolation error
+    differs at its own (documented, ~1e-3 f32 power) level — same order,
+    not bit-identical to two separate sums.
+
+    Returns (S1, C1, S2, C2), each [nf].
+    """
+    if nfft is None:
+        nfft = grid_size(nf, n)
+    t = jnp.asarray(t)
+    w1 = jnp.asarray(w1)
+    w2 = jnp.asarray(w2)
+    dtype = jnp.result_type(t.dtype, w1.dtype, w2.dtype, jnp.float32)
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    t = t.astype(dtype)
+    tmin = jnp.min(t)
+    trel = t - tmin
+    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    u = (w1.astype(dtype) + 1j * w2.astype(dtype)).astype(cdtype) * rot
+    inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
+    vals = (u[:, None] * lag.astype(cdtype)).reshape(-1)
+    flat = inds.reshape(-1)
+    grid_re = jnp.zeros(nfft, dtype).at[flat].add(vals.real)
+    grid_im = jnp.zeros(nfft, dtype).at[flat].add(vals.imag)
+    G = nfft * jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))
+    k = jnp.arange(nf)
+    back = jnp.conj(G[(nfft - k - q) % nfft])
+    G1 = 0.5 * (G[:nf] + back)
+    G2 = -0.5j * (G[:nf] - back)
+    freqs = fmin + df * jnp.arange(nf, dtype=dtype)
+    post = jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))
+    G1 = G1 * post
+    G2 = G2 * post
+    return G1.imag, G1.real, G2.imag, G2.real
 
 
 @partial(jax.jit, static_argnames=("nf", "nfft"))

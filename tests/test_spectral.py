@@ -183,3 +183,41 @@ def test_gls_power_batch_odd_batch_and_chunking():
     for i in range(b):
         single = np.asarray(gls_power(t, ys[i], errs[i], df, fmin, nf))
         np.testing.assert_allclose(batch[i], single, rtol=1e-8, atol=1e-10)
+
+
+def test_trig_sum_pair_matches_separate_sums():
+    """Conjugate-symmetry pairing (fmin = q*df/2) reproduces two separate
+    trig sums within the extirpolation budget."""
+    from periodicity_tpu.ops.trig_sum import trig_sum, trig_sum_pair
+
+    rng = np.random.default_rng(5)
+    n, nf = 1500, 2048
+    t = np.sort(rng.uniform(0, 200, n))
+    w1 = rng.standard_normal(n) / n
+    w2 = rng.uniform(0.5, 1.5, n) / n
+    df = 1e-3
+    for q in (1, 2):
+        fmin = q * df / 2
+        S1, C1 = trig_sum(t, w1, df, nf, fmin)
+        S2, C2 = trig_sum(t, w2, df, nf, fmin)
+        P1s, P1c, P2s, P2c = trig_sum_pair(t, w1, w2, df, nf, fmin, q=q)
+        scale = float(np.max(np.abs(np.asarray(C2))))
+        for got, want in [(P1s, S1), (P1c, C1), (P2s, S2), (P2c, C2)]:
+            assert np.max(np.abs(np.asarray(got) - np.asarray(want))) < 1e-5 * max(scale, 1e-3)
+
+
+def test_gls_power_pair_q_matches_unpaired():
+    from periodicity_tpu.spectral import gls_power
+
+    rng = np.random.default_rng(6)
+    n = 1200
+    t = np.sort(rng.uniform(0, 150, n))
+    y = np.sin(2 * np.pi * t / 9.0) + 0.2 * rng.standard_normal(n)
+    err = np.full(n, 0.2)
+    df = 1e-3
+    fmin = df / 2
+    nf = 4096
+    p0 = np.asarray(gls_power(t, y, err, df, fmin, nf))
+    p1 = np.asarray(gls_power(t, y, err, df, fmin, nf, pair_q=1))
+    assert np.argmax(p0) == np.argmax(p1)
+    np.testing.assert_allclose(p1, p0, atol=5e-5 * p0.max())
