@@ -1239,11 +1239,20 @@ class TFSeries(Signal):
         return tf
 
     def _plot2d(self, fn_name, *args, **kwargs):
+        """2-D plot with xarray-style coordinate selection: ``y`` may name
+        the vertical coordinate ('frequency' default, or 'period')."""
         import matplotlib.pyplot as plt
 
+        y_coord = kwargs.pop("y", "frequency")
+        if y_coord == "period":
+            y_vals = 1.0 / np.asarray(self._frequency)
+        elif y_coord == "frequency":
+            y_vals = np.asarray(self._frequency)
+        else:
+            raise ValueError(f"unknown y coordinate {y_coord!r}")
         fn = getattr(plt, fn_name)
         return fn(
-            np.asarray(self._time), np.asarray(self._frequency),
+            np.asarray(self._time), y_vals,
             np.asarray(self._values), *args, **kwargs,
         )
 

@@ -27,7 +27,7 @@ from jax.scipy.special import ndtri
 from ...core import TSeries
 from ...ops.optimize import lbfgs_box
 from . import mcmc as _mcmc
-from .pscan import log_likelihood_pscan
+from .pscan import log_likelihood_blocked, log_likelihood_pscan
 from .solver import GaussianProcess, log_likelihood
 from .terms import BrownianTerm, RotationTerm
 
@@ -97,7 +97,12 @@ class CeleriteModeler:
 
     def _nll_u(self, u):
         kernel, mean, jitter = self._build(u)
-        ll_fn = log_likelihood_pscan if self.solver == "pscan" else log_likelihood
+        if self.solver == "pscan":
+            ll_fn = log_likelihood_pscan
+        elif self.solver == "blocked":
+            ll_fn = log_likelihood_blocked
+        else:
+            ll_fn = log_likelihood
         ll = ll_fn(kernel, self.t, self.err**2 + jitter, self.y - mean)
         return -ll
 

@@ -25,6 +25,15 @@ depth via ``jax.lax.associative_scan``:
    predictive means/variances needed for the log-likelihood come
    elementwise from the (shifted) filtered results.
 
+3. ``log_likelihood_blocked`` is the depth/throughput middle ground
+   (ROADMAP r1 item 3): split the series into B blocks, run the cheap
+   sequential composition *within* each block (all blocks advance in
+   lock-step, vectorized over the block axis), compose the B block
+   summaries with one associative scan, and stitch block carries onto the
+   within-block prefixes with a single vectorized combine. Depth
+   N/B + log B instead of N, with none of the full pscan's O(N r^2)
+   element traffic at every tree level.
+
 This is the "ring-attention analog" for this domain (SURVEY §5.7): the
 binary operator is associative, so the factorization also decomposes
 across chips with one carry exchange per boundary.
@@ -36,7 +45,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ssm_matrices", "log_likelihood_pscan"]
+__all__ = [
+    "ssm_matrices",
+    "log_likelihood_pscan",
+    "log_likelihood_blocked",
+]
 
 
 def ssm_matrices(term, t):
@@ -94,23 +107,18 @@ def ssm_matrices(term, t):
     return A, Pinf, H
 
 
-@partial(jax.jit, static_argnames=())
-def _pkf_loglik(A, Pinf, H, diag, y):
-    """Parallel-Kalman GP log-likelihood.
+def _filter_elements(A, Pinf, H, diag, y):
+    """Sarkka & Garcia-Fernandez filtering elements + fixed (A, Q).
 
-    A [N,R,R] transitions (A[0] unused), Pinf [R,R], H [R], diag [N]
-    observation noise variances, y [N] residuals.
+    Returns (elems 5-tuple with leading dim N, A [N,R,R], Q [N,R,R]); step
+    0 starts from the stationary prior (A_0 := 0, Q_0 := Pinf).
     """
     n, r, _ = A.shape
     eye = jnp.eye(r, dtype=A.dtype)
-
-    # discrete process noise: Q_k = Pinf - A_k Pinf A_k^T; first step uses
-    # the stationary prior (A_0 := 0, Q_0 := Pinf)
     Q = Pinf[None] - A @ Pinf[None] @ jnp.swapaxes(A, 1, 2)
     A = A.at[0].set(jnp.zeros((r, r), A.dtype))
     Q = Q.at[0].set(Pinf)
 
-    # Sarkka & Garcia-Fernandez filtering elements
     HQH = jnp.einsum("i,nij,j->n", H, Q, H) + diag  # S_k = H Q H^T + R
     K = (Q @ H) / HQH[:, None]  # [N, R]
     ImKH = eye[None] - K[:, :, None] * H[None, None, :]
@@ -120,33 +128,41 @@ def _pkf_loglik(A, Pinf, H, diag, y):
     HA = jnp.einsum("i,nij->nj", H, A)  # [N, R]
     eta_el = HA * (y / HQH)[:, None]
     J_el = HA[:, :, None] * HA[:, None, :] / HQH[:, None, None]
+    return (A_el, b_el, C_el, eta_el, J_el), A, Q
 
-    def combine(ei, ej):
-        Ai, bi, Ci, etai, Ji = ei
-        Aj, bj, Cj, etaj, Jj = ej
-        m1 = jnp.linalg.solve(
-            jnp.swapaxes(eye[None] + Ci @ Jj, -1, -2),
-            jnp.swapaxes(Aj, -1, -2),
-        )
-        m1t = jnp.swapaxes(m1, -1, -2)  # = Aj (I + Ci Jj)^{-1}
-        A_n = m1t @ Ai
-        b_n = jnp.einsum("nij,nj->ni", m1t, bi + jnp.einsum("nij,nj->ni", Ci, etaj)) + bj
-        C_n = m1t @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
-        m2 = jnp.linalg.solve(
-            eye[None] + Jj @ Ci,
-            (etaj - jnp.einsum("nij,nj->ni", Jj, bi))[..., None],
-        )[..., 0]
-        eta_n = jnp.einsum("nji,nj->ni", Ai, m2) + etai
-        m3 = jnp.linalg.solve(eye[None] + Jj @ Ci, Jj @ Ai)
-        J_n = jnp.einsum("nji,njk->nik", Ai, m3) + Ji
-        return (A_n, b_n, C_n, eta_n, J_n)
 
-    elems = (A_el, b_el, C_el, eta_el, J_el)
-    A_c, b_c, C_c, _, _ = jax.lax.associative_scan(combine, elems)
-    m_filt = b_c  # [N, R] filtered means (prior mean zero)
-    P_filt = C_c  # [N, R, R]
+def _combine(ei, ej):
+    """Associative composition of filtering elements: ``ei`` earlier,
+    ``ej`` later. Leading dims must match (any number of batch dims folded
+    into one)."""
+    Ai, bi, Ci, etai, Ji = ei
+    Aj, bj, Cj, etaj, Jj = ej
+    eye = jnp.eye(Ai.shape[-1], dtype=Ai.dtype)
+    eyeb = jnp.broadcast_to(eye, Ai.shape)
+    m1 = jnp.linalg.solve(
+        jnp.swapaxes(eyeb + Ci @ Jj, -1, -2),
+        jnp.swapaxes(Aj, -1, -2),
+    )
+    m1t = jnp.swapaxes(m1, -1, -2)  # = Aj (I + Ci Jj)^{-1}
+    A_n = m1t @ Ai
+    b_n = (
+        jnp.einsum("...ij,...j->...i", m1t, bi + jnp.einsum("...ij,...j->...i", Ci, etaj))
+        + bj
+    )
+    C_n = m1t @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
+    m2 = jnp.linalg.solve(
+        eyeb + Jj @ Ci,
+        (etaj - jnp.einsum("...ij,...j->...i", Jj, bi))[..., None],
+    )[..., 0]
+    eta_n = jnp.einsum("...ji,...j->...i", Ai, m2) + etai
+    m3 = jnp.linalg.solve(eyeb + Jj @ Ci, Jj @ Ai)
+    J_n = jnp.einsum("...ji,...jk->...ik", Ai, m3) + Ji
+    return (A_n, b_n, C_n, eta_n, J_n)
 
-    # predictive innovations: step 0 from the prior, step k from k-1
+
+def _innovation_loglik(A, Q, Pinf, H, diag, y, m_filt, P_filt):
+    """Log-likelihood from filtered means/covariances via one-step
+    predictive innovations."""
     m_pred = jnp.einsum("nij,nj->ni", A[1:], m_filt[:-1])
     P_pred = A[1:] @ P_filt[:-1] @ jnp.swapaxes(A[1:], 1, 2) + Q[1:]
     mu = jnp.concatenate([jnp.zeros((1,), y.dtype), m_pred @ H])
@@ -160,6 +176,97 @@ def _pkf_loglik(A, Pinf, H, diag, y):
     return -0.5 * jnp.sum(resid**2 / s + jnp.log(2 * jnp.pi * s))
 
 
+@jax.jit
+def _pkf_loglik(A, Pinf, H, diag, y):
+    """Parallel-Kalman GP log-likelihood (O(log N) depth).
+
+    A [N,R,R] transitions (A[0] unused), Pinf [R,R], H [R], diag [N]
+    observation noise variances, y [N] residuals.
+    """
+    elems, A, Q = _filter_elements(A, Pinf, H, diag, y)
+    _, b_c, C_c, _, _ = jax.lax.associative_scan(_combine, elems)
+    return _innovation_loglik(A, Q, Pinf, H, diag, y, b_c, C_c)
+
+
+def _identity_elements(shape_prefix, r, dtype):
+    eye = jnp.broadcast_to(jnp.eye(r, dtype=dtype), shape_prefix + (r, r))
+    zv = jnp.zeros(shape_prefix + (r,), dtype)
+    zm = jnp.zeros(shape_prefix + (r, r), dtype)
+    return (eye, zv, zm, zv, zm)
+
+
+@partial(jax.jit, static_argnames=("n_blocks",))
+def _pkf_loglik_blocked(A, Pinf, H, diag, y, n_blocks):
+    """Two-level Kalman composition: sequential within blocks (vectorized
+    across blocks), associative across block summaries. Depth
+    N/n_blocks + log(n_blocks)."""
+    n, r, _ = A.shape
+    elems, A, Q = _filter_elements(A, Pinf, H, diag, y)
+    blk = n_blocks
+    length = -(-n // blk)
+    pad = blk * length - n
+
+    # pad each leaf explicitly: A with identity, others with zeros (the
+    # composition identity), so trailing pad slots leave prefixes unchanged
+    A_el, b_el, C_el, eta_el, J_el = elems
+    if pad:
+        eye_pad = jnp.broadcast_to(jnp.eye(r, dtype=A.dtype), (pad, r, r))
+        zv_pad = jnp.zeros((pad, r), A.dtype)
+        zm_pad = jnp.zeros((pad, r, r), A.dtype)
+        A_el = jnp.concatenate([A_el, eye_pad])
+        b_el = jnp.concatenate([b_el, zv_pad])
+        C_el = jnp.concatenate([C_el, zm_pad])
+        eta_el = jnp.concatenate([eta_el, zv_pad])
+        J_el = jnp.concatenate([J_el, zm_pad])
+
+    def reshape_scan_order(leaf):
+        # [blk*length, ...] -> [length, blk, ...] so lax.scan walks within
+        # blocks while the block axis stays vectorized
+        return jnp.swapaxes(
+            leaf.reshape((blk, length) + leaf.shape[1:]), 0, 1
+        )
+
+    elems_lb = tuple(
+        reshape_scan_order(leaf) for leaf in (A_el, b_el, C_el, eta_el, J_el)
+    )
+
+    def step(carry, e_l):
+        new = _combine(carry, e_l)
+        return new, new
+
+    init = _identity_elements((blk,), r, A.dtype)
+    summaries, prefixes = jax.lax.scan(step, init, elems_lb)
+
+    # exclusive block carries: identity, then inclusive prefixes shifted
+    incl = jax.lax.associative_scan(_combine, summaries)
+    ident1 = _identity_elements((1,), r, A.dtype)
+    carries = tuple(
+        jnp.concatenate([i1, leaf[:-1]]) for i1, leaf in zip(ident1, incl)
+    )
+
+    # stitch: total prefix at (l, b) = carry_b  then  within-prefix_(l, b)
+    def expand(leaf):  # [blk, ...] -> [length*blk, ...] (l-major like prefixes)
+        return jnp.broadcast_to(
+            leaf[None], (length,) + leaf.shape
+        ).reshape((length * blk,) + leaf.shape[1:])
+
+    flat_prefix = tuple(
+        leaf.reshape((length * blk,) + leaf.shape[2:]) for leaf in prefixes
+    )
+    total = _combine(tuple(expand(c) for c in carries), flat_prefix)
+
+    # back to natural order: [length, blk, ...] -> [blk*length, ...][:n]
+    def natural(leaf):
+        leaf = leaf.reshape((length, blk) + leaf.shape[1:])
+        return jnp.swapaxes(leaf, 0, 1).reshape(
+            (blk * length,) + leaf.shape[2:]
+        )[:n]
+
+    m_filt = natural(total[1])
+    P_filt = natural(total[2])
+    return _innovation_loglik(A, Q, Pinf, H, diag, y, m_filt, P_filt)
+
+
 def log_likelihood_pscan(term, t, diag, resid):
     """GP log-likelihood via the O(log N)-depth parallel Kalman filter.
 
@@ -169,3 +276,13 @@ def log_likelihood_pscan(term, t, diag, resid):
     """
     A, Pinf, H = ssm_matrices(term, jnp.asarray(t))
     return _pkf_loglik(A, Pinf, H, jnp.asarray(diag), jnp.asarray(resid))
+
+
+def log_likelihood_blocked(term, t, diag, resid, n_blocks=64):
+    """GP log-likelihood via the blocked two-level Kalman composition:
+    depth N/n_blocks + log n_blocks (the scan/pscan throughput-latency
+    middle ground). Matches solver.log_likelihood for SHO-family terms."""
+    A, Pinf, H = ssm_matrices(term, jnp.asarray(t))
+    return _pkf_loglik_blocked(
+        A, Pinf, H, jnp.asarray(diag), jnp.asarray(resid), n_blocks
+    )

@@ -22,10 +22,12 @@ lane-dim slicing of a [4, N] layout is not supported by the Mosaic runtime.
 Status (TPU v5e, N=1e5 -> nfft=8.4M): numerically exact vs the scatter
 reference on hardware; ~47 ms vs ~10-20 ms for the XLA scatter at this
 point density (~12 points/tile leaves the one-hot construction cost
-unamortized), so the default GLS path keeps the scatter. The kernel wins
-when many points land per tile (dense sampling / smaller grids); future
-work: accumulate one-hot columns in int8/bf16 on the MXU and fuse the
-Lagrange-weight computation into the kernel.
+unamortized). Round 2 found a simpler winner inside XLA: scatter cost is
+index-count-bound, so packing (taps x re/im x batch) into wide rows of ONE
+N-index scatter (ops/trig_sum.trig_sum_batch) beats both this kernel and
+the plain scatter for batched work — see docs/performance.md. The kernel
+is retained as the Pallas reference implementation and still wins when
+many points land per tile (dense sampling / small grids).
 """
 
 from functools import partial

@@ -17,6 +17,14 @@ Precision: positions on the oversampled grid are computed with a Dekker
 two-product compensation so the fractional extirpolation offsets stay
 accurate in float32 (TPU-native dtype) for N up to ~1e7-sample baselines;
 in float64 the compensation is exact noise-level.
+
+Kernel variants (measured rulings in docs/performance.md):
+- ``trig_sum``: single series; two f32 plane scatters of 4N taps + 1 FFT.
+- ``trig_sum_pair``: two real-weight sums at the same half-bin grid from
+  ONE complex pipeline via conjugate symmetry (fmin = q*df/2).
+- ``trig_sum_batch``: B series sharing a time grid; one N-index row
+  scatter with (taps x re/im x batch)-packed rows (scatter cost on TPU is
+  index-count-bound, not payload-bound).
 """
 
 from functools import partial

@@ -222,3 +222,26 @@ def test_celerite_scan_float32_characterized():
         assert abs(ll32 - ll64) / abs(ll64) < 1e-5, (n, ll32, ll64)
         g32 = jax.grad(nll)(p32, *args32)
         assert np.isfinite(np.asarray(g32)).all()
+
+
+def test_blocked_likelihood_matches_scan():
+    """The two-level blocked Kalman composition equals the sequential scan
+    solver for SHO-family terms at every block count."""
+    from periodicity_tpu.models.gp.pscan import log_likelihood_blocked
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm, RotationTerm
+
+    rng = np.random.default_rng(12)
+    n = 777  # deliberately not a multiple of any block count
+    t = np.sort(rng.uniform(0, 60, n))
+    y = np.sin(2 * np.pi * t / 9.0) + 0.1 * rng.standard_normal(n)
+    y = y - y.mean()
+    diag = np.full(n, 0.02)
+    for term in (
+        RotationTerm(sigma=1.0, period=9.0, Q0=2.0, dQ=1.0, f=0.3),
+        BrownianTerm(0.01, 20.0, 10.0, 0.3),
+    ):
+        want = float(log_likelihood(term, t, diag, y))
+        for nb in (1, 3, 16, 128):
+            got = float(log_likelihood_blocked(term, t, diag, y, n_blocks=nb))
+            assert got == pytest.approx(want, rel=1e-10), (nb, got, want)
