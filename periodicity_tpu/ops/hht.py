@@ -78,6 +78,11 @@ def am_fm_normalize(t, x, norm_type="spline", n_iter=10, pad_width=2,
     ``norm_type`` is ``"hilbert"`` (|analytic signal|) or ``"spline"``
     (cubic-spline envelope of |F|).
     """
+    if norm_type not in ("hilbert", "spline"):
+        raise ValueError(
+            f"norm_type {norm_type!r} unsupported here; 'lmd' normalization "
+            "is host-orchestrated in models.timefrequency.HHT"
+        )
     x = jnp.asarray(x)
 
     def envelope(F):
