@@ -20,6 +20,8 @@ host numpy:
   PyWavelets).
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,7 +31,14 @@ from ..ops import hht as _ops_hht
 from ..ops import wavelet as _wav
 from .decomposition import EMD, LMD
 
-__all__ = ["WPS", "HHT", "CompositeSpectrum", "denoise", "reconstruct"]
+__all__ = [
+    "WPS",
+    "HHT",
+    "CompositeSpectrum",
+    "denoise",
+    "reconstruct",
+    "wps_batch",
+]
 
 _IF_METHODS = ("DQ", "NHT", "TEO", "HT")
 _NORM_TYPES = ("hilbert", "spline", "lmd")
@@ -332,6 +341,37 @@ class WPS:
         vals = jnp.asarray(self.masked_spectrum.values)
         avg = jnp.nanmean(jnp.where(sel[None, :], vals, jnp.nan), axis=1)
         return FSeries(self.frequency, avg)
+
+
+@partial(jax.jit, static_argnames=("family",))
+def _wps_batch_kernel(t, ys, scales, periods, family, dt):
+    def one(y):
+        coefs = _wav.cwt_morlet(y - jnp.mean(y), scales, family, dt=dt)
+        return jnp.square(jnp.abs(coefs)) / scales[:, None]
+
+    unbiased = jax.vmap(one)(ys)
+    reach = jnp.minimum(t - t[0], t[-1] - t)
+    in_cone = _coi_correction() * periods[:, None] < reach[None, :]
+    return unbiased, in_cone
+
+
+def wps_batch(time, values, periods, family=WPS.FAMILY):
+    """Unbiased wavelet power spectra for B light curves sharing one time
+    grid: one vmapped CWT+unbias program (the SURVEY §2.2 batch axis the
+    strictly single-series reference lacks).
+
+    time [N] (uniformly sampled), values [B, N], periods [S].
+    Returns (spectra [B, S, N], in_cone [S, N] bool). Shard the leading
+    axis over a mesh for multi-chip batches.
+    """
+    time = jnp.asarray(time)
+    values = jnp.asarray(values)
+    periods = np.asarray(periods, float)
+    dt = float(np.median(np.diff(np.asarray(time))))
+    scales = _wav.scale2frequency(family, 1) * periods / dt
+    return _wps_batch_kernel(
+        time, values, jnp.asarray(scales), jnp.asarray(periods), family, dt
+    )
 
 
 class CompositeSpectrum:

@@ -72,8 +72,7 @@ def _cwt_kernel(x, scales, b_param, c_param, dt, nfft):
     n = x.shape[0]
     xf = jnp.fft.fft(x, n=nfft)
     freqs = jnp.fft.fftfreq(nfft, d=dt).astype(x.dtype)
-    # psi_hat(f) = sqrt(pi*B) * ... continuous FT of psi is exp(-pi^2 B (f-C)^2)
-    af = scales[:, None] * dt * freqs[None, :] / dt  # scale * f (f in cycles/time)
+    # continuous FT of psi is exp(-pi^2 B (f - C)^2), evaluated at scale*f
     af = scales[:, None] * freqs[None, :]
     psi_hat = jnp.exp(-(jnp.pi**2) * b_param * (af - c_param) ** 2)
     w = jnp.fft.ifft(xf[None, :] * jnp.sqrt(scales[:, None]) * psi_hat, axis=1)

@@ -1,5 +1,19 @@
 """Alias module mirroring the reference's import path."""
 
-from .models.timefrequency import HHT, WPS, CompositeSpectrum, denoise, reconstruct
+from .models.timefrequency import (
+    HHT,
+    WPS,
+    CompositeSpectrum,
+    denoise,
+    reconstruct,
+    wps_batch,
+)
 
-__all__ = ["WPS", "HHT", "CompositeSpectrum", "denoise", "reconstruct"]
+__all__ = [
+    "WPS",
+    "HHT",
+    "CompositeSpectrum",
+    "denoise",
+    "reconstruct",
+    "wps_batch",
+]

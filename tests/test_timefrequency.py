@@ -91,3 +91,25 @@ def test_denoise_reduces_noise():
     # pure noise is almost entirely suppressed (VisuShrink property)
     pure = 0.3 * rng.standard_normal(1024)
     assert np.std(denoise(pure, sigma=0.3)) < 0.25 * np.std(pure)
+
+
+def test_wps_batch_matches_single():
+    from periodicity_tpu.timefrequency import wps_batch
+
+    t = np.arange(1024) * 0.5
+    periods = np.geomspace(2, 64, 40)
+    ys = np.stack([
+        np.sin(2 * np.pi * t / 7.0),
+        np.sin(2 * np.pi * t / 21.0) + 0.1 * np.cos(2 * np.pi * t / 5.0),
+    ])
+    spectra, in_cone = wps_batch(t, ys, periods)
+    assert spectra.shape == (2, 40, 1024)
+    assert in_cone.shape == (40, 1024)
+    for i in range(2):
+        wps = WPS(periods)
+        wps(TSeries(t, ys[i]))
+        np.testing.assert_allclose(
+            np.asarray(spectra[i]), np.asarray(wps.spectrum.values),
+            rtol=1e-6, atol=1e-12,
+        )
+        np.testing.assert_array_equal(np.asarray(in_cone), wps.mask_coi)
