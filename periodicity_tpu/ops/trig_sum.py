@@ -169,8 +169,10 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1):
     grid_re = jnp.zeros(nfft, dtype).at[flat].add(vals.real)
     grid_im = jnp.zeros(nfft, dtype).at[flat].add(vals.imag)
     G = nfft * jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))
-    k = jnp.arange(nf)
-    back = jnp.conj(G[(nfft - k - q) % nfft])
+    # indices nfft - k - q for k in [0, nf) form a contiguous descending
+    # range (q >= 1 keeps it in bounds): a static slice + flip, not a
+    # mod-indexed gather (reversed gathers of the full grid are slow on TPU)
+    back = jnp.flip(jnp.conj(G[nfft - q - nf + 1 : nfft - q + 1]))
     G1 = 0.5 * (G[:nf] + back)
     G2 = -0.5j * (G[:nf] - back)
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
