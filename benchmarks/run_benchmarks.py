@@ -235,7 +235,7 @@ def config6_gls_batch():
     def loop(ys):
         def body(_, carry):
             ys, acc = carry
-            p = gls_power_batch(tj, ys, ej, df, fmin, nf)
+            p = gls_power_batch(tj, ys, ej, df, fmin, nf, pair_q=1)
             return (ys + p[:, :n] * 1e-9, acc + jnp.sum(p[:, 0]))
 
         return jax.lax.fori_loop(0, k, body, (ys, jnp.float32(0)))[1]

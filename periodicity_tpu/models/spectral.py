@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..core import FSeries, TSeries
-from ..ops.trig_sum import grid_size, trig_sum, trig_sum_batch, trig_sum_pair
+from ..ops.trig_sum import (
+    grid_size,
+    trig_sum,
+    trig_sum_batch,
+    trig_sum_batch_pair,
+    trig_sum_pair,
+)
 from ..utils.logging import log_event
 
 __all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
@@ -130,18 +136,24 @@ def _assemble_gls_power(Sh, Ch, S2, C2, S, C, YY, inv_var_sum, fit_mean, psd):
     return power / YY
 
 
-def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd):
-    """GLS power for B light curves sharing one time grid: three batched
-    trig-sum kernels (one row-scatter each) + broadcast assembly."""
+def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
+    """GLS power for B light curves sharing one time grid: batched row-
+    scatter trig sums + broadcast assembly. With ``pair_q`` (half-bin
+    grids) the (wy, w) pair at (df, fmin) shares one pipeline."""
     w = errs ** -2.0
     w = w / jnp.sum(w, axis=1, keepdims=True)
     if fit_mean:
         ys = ys - jnp.sum(w * ys, axis=1, keepdims=True)
-    Sh, Ch = trig_sum_batch(t, w * ys, df, nf, fmin)
-    S2, C2 = trig_sum_batch(t, w, 2 * df, nf, 2 * fmin)
     S = C = None
-    if fit_mean:
-        S, C = trig_sum_batch(t, w, df, nf, fmin)
+    if fit_mean and pair_q is not None:
+        Sh, Ch, S, C = trig_sum_batch_pair(
+            t, w * ys, w, df, nf, fmin, q=pair_q
+        )
+    else:
+        Sh, Ch = trig_sum_batch(t, w * ys, df, nf, fmin)
+        if fit_mean:
+            S, C = trig_sum_batch(t, w, df, nf, fmin)
+    S2, C2 = trig_sum_batch(t, w, 2 * df, nf, 2 * fmin)
     YY = jnp.sum(w * ys**2, axis=1, keepdims=True)
     inv_var_sum = jnp.sum(errs ** -2.0, axis=1, keepdims=True)
     return _assemble_gls_power(
@@ -149,9 +161,9 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd):
     )
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q"))
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
-                    method="fast", batch_size=8):
+                    method="fast", batch_size=8, pair_q=None):
     """Batched GLS over many light curves sharing one time grid.
 
     ys, errs: [B, N]. Returns power [B, nf]. The fast path processes the
@@ -186,15 +198,16 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
 
     def one_chunk(args):
         y, e = args
-        return _gls_power_rows(t, y, e, df, fmin, nf, fit_mean, psd)
+        return _gls_power_rows(t, y, e, df, fmin, nf, fit_mean, psd,
+                               pair_q=pair_q)
 
     out = jax.lax.map(one_chunk, (ys, errs))
     return out.reshape(groups * chunk, nf)[:b]
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q"))
 def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
-                      fit_mean=True, psd=False, method="fast"):
+                      fit_mean=True, psd=False, method="fast", pair_q=None):
     """Max power per resampled replicate. All replicates share the time
     grid (reference spectral.py:144-148 resamples only values/errors), so
     they run through the batched row-scatter kernel."""
@@ -202,7 +215,7 @@ def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
     idx = jax.random.randint(key, (n_bootstraps, n), 0, n)
     powers = gls_power_batch(
         t, y[idx], err[idx], df, fmin, nf,
-        fit_mean=fit_mean, psd=psd, method=method,
+        fit_mean=fit_mean, psd=psd, method=method, pair_q=pair_q,
     )
     return jnp.nanmax(powers, axis=1)
 
@@ -257,6 +270,7 @@ class GLS:
             key, self.signal.time, self.signal.values, self.err,
             df, freq[0], freq.size, int(n_bootstraps),
             fit_mean=fit_mean, psd=self.psd, method=self.method,
+            pair_q=_pair_q(df, freq[0]),
         )
         self.bs_replicates = np.asarray(reps)
         return self.bs_replicates

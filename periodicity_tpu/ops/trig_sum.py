@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trig_sum", "trig_sum_batch", "trig_sum_pair", "grid_size"]
+__all__ = ["trig_sum", "trig_sum_batch", "trig_sum_batch_pair", "trig_sum_pair", "grid_size"]
 
 
 def grid_size(nf, n=5):
@@ -177,6 +177,63 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1):
     G2 = -0.5j * (G[:nf] - back)
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
     post = jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))
+    G1 = G1 * post
+    G2 = G2 * post
+    return G1.imag, G1.real, G2.imag, G2.real
+
+
+@partial(jax.jit, static_argnames=("nf", "nfft", "q"))
+def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
+                        q=1):
+    """Batched conjugate-symmetry pairing: the (w1, w2) sums for B curves
+    at the same half-bin grid (fmin = q*df/2) from ONE row-scatter + ONE
+    batched FFT. Combines the trig_sum_batch row packing with the
+    trig_sum_pair separation. Returns (S1, C1, S2, C2), each [B, nf]."""
+    if nfft is None:
+        nfft = grid_size(nf, n)
+    t = jnp.asarray(t)
+    w1_rows = jnp.asarray(w1_rows)
+    w2_rows = jnp.asarray(w2_rows)
+    b = w1_rows.shape[0]
+    dtype = jnp.result_type(t.dtype, w1_rows.dtype, jnp.float32)
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    t = t.astype(dtype)
+    tmin = jnp.min(t)
+    trel = t - tmin
+    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    u = (w1_rows.astype(dtype) + 1j * w2_rows.astype(dtype)) * rot[None, :]
+    inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
+    ilo = inds[:, 0].astype(jnp.int32)
+    ur = u.real
+    ui = u.imag
+    rows = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [lag[:, j:j + 1] * ur.T, lag[:, j:j + 1] * ui.T], axis=1
+            )
+            for j in range(4)
+        ],
+        axis=1,
+    )  # [N, 4 * 2B]
+    grid = jnp.zeros((nfft + 4, 8 * b), dtype).at[ilo].add(
+        rows, indices_are_sorted=True, unique_indices=False
+    )
+    total = grid[0:nfft, 0:2 * b]
+    for j in range(1, 4):
+        block = grid[:, 2 * b * j: 2 * b * (j + 1)]
+        total = total + jnp.concatenate(
+            [jnp.zeros((j, 2 * b), dtype), block[: nfft - j]], axis=0
+        )
+    G = nfft * jnp.fft.ifft(
+        jax.lax.complex(total[:, :b].T, total[:, b:].T), axis=-1
+    )  # [B, nfft]
+    back = jnp.flip(
+        jnp.conj(G[:, nfft - q - nf + 1 : nfft - q + 1]), axis=-1
+    )
+    G1 = 0.5 * (G[:, :nf] + back)
+    G2 = -0.5j * (G[:, :nf] - back)
+    freqs = fmin + df * jnp.arange(nf, dtype=dtype)
+    post = jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))[None, :]
     G1 = G1 * post
     G2 = G2 * post
     return G1.imag, G1.real, G2.imag, G2.real

@@ -221,3 +221,20 @@ def test_gls_power_pair_q_matches_unpaired():
     p1 = np.asarray(gls_power(t, y, err, df, fmin, nf, pair_q=1))
     assert np.argmax(p0) == np.argmax(p1)
     np.testing.assert_allclose(p1, p0, atol=5e-5 * p0.max())
+
+
+def test_gls_power_batch_pair_q_matches_unpaired():
+    from periodicity_tpu.spectral import gls_power_batch
+
+    rng = np.random.default_rng(8)
+    n, b = 600, 3
+    t = np.sort(rng.uniform(0, 80, n))
+    ys = np.stack([np.sin(2 * np.pi * t / p) + 0.1 * rng.standard_normal(n)
+                   for p in (4.0, 6.5, 9.0)])
+    errs = np.full((b, n), 0.1)
+    df = 1e-3
+    fmin = df / 2
+    nf = 2048
+    p0 = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf))
+    p1 = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf, pair_q=1))
+    np.testing.assert_allclose(p1, p0, atol=5e-5 * p0.max())
