@@ -49,6 +49,7 @@ __all__ = [
     "ssm_matrices",
     "log_likelihood_pscan",
     "log_likelihood_blocked",
+    "log_likelihood_sharded",
 ]
 
 
@@ -267,6 +268,87 @@ def _pkf_loglik_blocked(A, Pinf, H, diag, y, n_blocks):
     return _innovation_loglik(A, Q, Pinf, H, diag, y, m_filt, P_filt)
 
 
+def _sharded_pkf_loglik(A, Pinf, H, diag, y, mesh, axis):
+    """Chip-sharded two-level Kalman composition (the multi-chip extension
+    of ``_pkf_loglik_blocked``): the time axis is split into one contiguous
+    block per device, each chip composes its local filtering elements with
+    a sequential scan (depth N/D, vectorized on-chip), the D block
+    summaries — five tensors of at most [R, R] each — are exchanged with
+    ONE ``all_gather`` over the mesh axis, every chip stitches its
+    exclusive carry onto its local prefixes, and the per-chip innovation
+    log-likelihood contributions are ``psum``-reduced. Total cross-chip
+    traffic per evaluation: O(D R^2) floats, independent of N.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n, r, _ = A.shape
+    d = mesh.shape[axis]
+    if n % d:
+        raise ValueError(f"n={n} must be divisible by mesh axis size {d}")
+
+    elems, A, Q = _filter_elements(A, Pinf, H, diag, y)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            (P(axis),) * 5,  # filtering elements, time-sharded
+            P(axis),  # A
+            P(axis),  # Q
+            P(axis),  # diag
+            P(axis),  # y
+            P(),  # H (replicated)
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _run(elems_l, A_l, Q_l, diag_l, y_l, H):
+        nl = y_l.shape[0]
+
+        def step(carry, e):
+            new = _combine(carry, e)
+            return new, new
+
+        init = _identity_elements((), r, A_l.dtype)
+        _, prefixes = jax.lax.scan(step, init, elems_l, unroll=4)
+        summary = tuple(leaf[-1] for leaf in prefixes)
+
+        # one small collective: every chip sees all D block summaries
+        gathered = jax.lax.all_gather(summary, axis)  # leading dim D
+        incl = jax.lax.associative_scan(_combine, gathered)
+        idx = jax.lax.axis_index(axis)
+        ident = _identity_elements((), r, A_l.dtype)
+        carry = tuple(
+            jnp.where(idx == 0, i, jax.lax.dynamic_index_in_dim(
+                g, jnp.maximum(idx - 1, 0), keepdims=False))
+            for i, g in zip(ident, incl)
+        )
+
+        # total prefix at local position j = carry ∘ local_prefix_j
+        carry_b = tuple(
+            jnp.broadcast_to(c, (nl,) + c.shape) for c in carry
+        )
+        total = _combine(carry_b, prefixes)
+        m_filt, P_filt = total[1], total[2]
+
+        # innovation at local j needs the filtered state at j-1; for j=0
+        # that is the carry's (b, C) — the previous chip's last filtered
+        # state (zeros on chip 0, where A_l[0] = 0 / Q_l[0] = Pinf encode
+        # the stationary prior globally).
+        m_prev = jnp.concatenate([carry[1][None], m_filt[:-1]])
+        P_prev = jnp.concatenate([carry[2][None], P_filt[:-1]])
+        m_pred = jnp.einsum("nij,nj->ni", A_l, m_prev)
+        P_pred = A_l @ P_prev @ jnp.swapaxes(A_l, 1, 2) + Q_l
+        mu = m_pred @ H
+        s = jnp.einsum("i,nij,j->n", H, P_pred, H) + diag_l
+        resid = y_l - mu
+        ll_local = -0.5 * jnp.sum(resid**2 / s + jnp.log(2 * jnp.pi * s))
+        return jax.lax.psum(ll_local, axis)
+
+    return _run(elems, A, Q, diag, y, H)
+
+
 def log_likelihood_pscan(term, t, diag, resid):
     """GP log-likelihood via the O(log N)-depth parallel Kalman filter.
 
@@ -285,4 +367,21 @@ def log_likelihood_blocked(term, t, diag, resid, n_blocks=64):
     A, Pinf, H = ssm_matrices(term, jnp.asarray(t))
     return _pkf_loglik_blocked(
         A, Pinf, H, jnp.asarray(diag), jnp.asarray(resid), n_blocks
+    )
+
+
+def log_likelihood_sharded(term, t, diag, resid, mesh, axis="seq"):
+    """GP log-likelihood with the TIME axis sharded across a device mesh.
+
+    The multi-chip extension of ``log_likelihood_blocked``: one contiguous
+    block per chip, sequential Kalman composition on-chip, one
+    ``all_gather`` of the D block summaries (O(D R^2) floats — independent
+    of N), carry stitch, ``psum`` of per-chip innovation contributions.
+    Matches ``solver.log_likelihood`` for SHO-family terms. This is the
+    sequence-parallel GP path (SURVEY §5.7): N = 10^6+ samples spread over
+    ICI-connected chips with a single tiny collective per evaluation.
+    """
+    A, Pinf, H = ssm_matrices(term, jnp.asarray(t))
+    return _sharded_pkf_loglik(
+        A, Pinf, H, jnp.asarray(diag), jnp.asarray(resid), mesh, axis
     )
