@@ -38,6 +38,7 @@ __all__ = [
     "denoise",
     "reconstruct",
     "wps_batch",
+    "hht_batch",
 ]
 
 _IF_METHODS = ("DQ", "NHT", "TEO", "HT")
@@ -371,6 +372,99 @@ def wps_batch(time, values, periods, family=WPS.FAMILY):
     scales = _wav.scale2frequency(family, 1) * periods / dt
     return _wps_batch_kernel(
         time, values, jnp.asarray(scales), jnp.asarray(periods), family, dt
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_modes", "method", "norm_type", "norm_iter", "max_iter",
+        "pad_width",
+    ),
+)
+def _hht_batch_kernel(t, Y, grid, max_modes, method, norm_type, norm_iter,
+                      max_iter, pad_width, theta_1, theta_2, alpha):
+    from ..ops.emd import emd_batch
+
+    modes, residue, n_modes = emd_batch(
+        t, Y, max_modes=max_modes, max_iter=max_iter, pad_width=pad_width,
+        theta_1=theta_1, theta_2=theta_2, alpha=alpha,
+    )
+    b, m, n = modes.shape
+    live = jnp.arange(m)[None, :] < n_modes[:, None]  # [B, M]
+
+    if method in ("TEO", "HT"):
+        # computed from the raw signal, identical for every live mode
+        # (reference timefrequency.py:123-134); the mode sum scales power
+        # by the live-mode count
+        freq, amp = jax.vmap(
+            lambda y: _ops_hht.instant_frequency(t, y, method=method)
+        )(Y)
+        power = jax.vmap(
+            lambda f, a: _ops_hht.spectrogram(grid, f, a)
+        )(freq, amp)
+        power = power * jnp.maximum(n_modes, 1)[:, None, None]
+        return power, modes, residue, n_modes
+
+    # DQ/NHT need per-mode AM/FM normalization; dead mode slots are all
+    # zero (envelope 0 -> NaN), so substitute a benign oscillation and mask
+    # the amplitude to zero afterwards
+    dummy = jnp.cos(
+        2 * jnp.pi * (t - t[0]) / ((t[-1] - t[0]) / 8.0 + 1e-12)
+    )
+    safe = jnp.where(live[..., None], modes, dummy[None, None, :])
+
+    def one_mode(v):
+        return _ops_hht.instant_frequency(
+            t, v, method=method, norm_type=norm_type, n_iter=norm_iter,
+        )
+
+    freq, amp = jax.vmap(one_mode)(safe.reshape(b * m, n))
+    freq = freq.reshape(b, m, n) * live[..., None]
+    amp = amp.reshape(b, m, n) * live[..., None]
+
+    def one_member(fs, amps):
+        per_mode = jax.vmap(
+            lambda f, a: _ops_hht.spectrogram(grid, f, a)
+        )(fs, amps)
+        return jnp.sum(per_mode, axis=0)
+
+    power = jax.vmap(one_member)(freq, amp)
+    return power, modes, residue, n_modes
+
+
+def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
+              norm_type="spline", norm_iter=10, max_iter=2000, pad_width=2,
+              theta_1=0.05, theta_2=0.50, alpha=0.05):
+    """Hilbert-Huang spectrograms for B light curves sharing one time grid
+    in ONE jitted program (the estimator-level batch analog of
+    ``HHT()(signal)``, following the ``gls_power_batch``/``wps_batch``
+    pattern; SURVEY §2.2 row (a)).
+
+    All members' EMD mode extractions advance in lock-step (ops.emd
+    ``emd_batch``); the per-(member, mode) instantaneous-frequency stack is
+    one flat vmap; the time-frequency scatter is batched. ``norm_type``
+    must be jit-able (``"spline"`` or ``"hilbert"`` — the eager ``"lmd"``
+    backend stays single-series in :class:`HHT`).
+
+    time [N], values [B, N], frequencies [F] ->
+    (power [B, F, N], modes [B, max_modes, N], residue [B, N], n_modes [B]).
+    Mode slots past a member's count are zero; each member's spectrogram
+    matches the sequential ``HHT(frequencies, method=...)(y_b)``. Shard the
+    leading axis over a mesh for multi-chip batches.
+    """
+    if method.upper() not in _IF_METHODS:
+        raise ValueError(f"Method {method} is unknown.")
+    if norm_type.lower() not in ("spline", "hilbert"):
+        raise ValueError(
+            "hht_batch supports norm_type 'spline' or 'hilbert'; the eager "
+            "'lmd' backend is single-series (models.timefrequency.HHT)"
+        )
+    grid = jnp.sort(jnp.asarray(frequencies, float))
+    return _hht_batch_kernel(
+        jnp.asarray(time), jnp.asarray(values), grid, int(max_modes),
+        method.upper(), norm_type.lower(), int(norm_iter), int(max_iter),
+        int(pad_width), theta_1, theta_2, alpha,
     )
 
 

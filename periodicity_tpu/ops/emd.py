@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from . import peaks as _peaks
 from . import spline as _spline
 
-__all__ = ["sift", "emd_iter", "upper_envelope", "EMDConfig"]
+__all__ = ["sift", "emd_iter", "emd_batch", "upper_envelope", "EMDConfig"]
 
 
 def _compact_with_edges(t, x, mask, cap):
@@ -210,3 +210,42 @@ def emd_iter(t, x, max_iter=2000, pad_width=2, theta_1=0.05, theta_2=0.50,
     if x.shape[0] < 4:
         mono = jnp.asarray(True)
     return mode, mono
+
+
+@partial(jax.jit, static_argnames=("max_modes", "max_iter", "pad_width"))
+def emd_batch(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
+              theta_2=0.50, alpha=0.05):
+    """Full EMD of a BATCH of series sharing one time grid.
+
+    The estimator-level batch axis the strictly single-series reference
+    lacks (SURVEY §2.2 row (a)): every batch member's outer mode-extraction
+    loop advances in lock-step as one ``lax.scan`` over ``max_modes`` fixed
+    mode slots, with per-member done masks where the reference would exit
+    its Python while-loop (reference decomposition.py:93-117).
+
+    t [N], Y [B, N] -> (modes [B, max_modes, N], residue [B, N],
+    n_modes [B]). Mode slots past a member's own count are zero; the
+    decomposition of each member matches sequential ``EMD()(y_b)`` exactly.
+    """
+    t = jnp.asarray(t)
+    Y = jnp.asarray(Y)
+
+    def one(y):
+        def step(carry, _):
+            residue, done = carry
+            mode, mono = emd_iter(
+                t, residue, max_iter=max_iter, pad_width=pad_width,
+                theta_1=theta_1, theta_2=theta_2, alpha=alpha,
+            )
+            take = (~done) & (~mono)
+            out = jnp.where(take, mode, jnp.zeros_like(mode))
+            residue = jnp.where(take, residue - mode, residue)
+            return (residue, done | mono), (out, take)
+
+        init_done = jnp.asarray(y.shape[-1] < 4)
+        (residue, _), (modes, takes) = jax.lax.scan(
+            step, (y, init_done), None, length=max_modes
+        )
+        return modes, residue, jnp.sum(takes)
+
+    return jax.vmap(one)(Y)

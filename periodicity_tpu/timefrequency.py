@@ -7,6 +7,7 @@ from .models.timefrequency import (
     denoise,
     reconstruct,
     wps_batch,
+    hht_batch,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "denoise",
     "reconstruct",
     "wps_batch",
+    "hht_batch",
 ]

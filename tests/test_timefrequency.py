@@ -113,3 +113,59 @@ def test_wps_batch_matches_single():
             rtol=1e-6, atol=1e-12,
         )
         np.testing.assert_array_equal(np.asarray(in_cone), wps.mask_coi)
+
+
+def test_hht_batch_matches_single():
+    """Batched HHT (lock-step EMD + flat-vmapped IF stack) == sequential
+    HHT per member, for DQ and TEO."""
+    from periodicity_tpu.timefrequency import hht_batch
+
+    rng = np.random.default_rng(0)
+    n = 512
+    t = np.linspace(0, 10, n)
+    ys = np.stack([
+        np.sin(2 * np.pi * t * 3.0) + 0.5 * np.sin(2 * np.pi * t * 0.4),
+        np.sin(2 * np.pi * t * 5.0)
+        + 0.3 * np.cos(2 * np.pi * t * 0.7)
+        + 0.05 * rng.standard_normal(n),
+    ])
+    grid = np.linspace(0.1, 8.0, 64)
+    power, modes, residue, n_modes = hht_batch(t, ys, grid, max_modes=6)
+    assert power.shape == (2, 64, n)
+    for b in range(2):
+        h = HHT(grid, method="DQ", norm_type="spline")
+        tf = h(TSeries(t, ys[b]))
+        assert int(n_modes[b]) == len(h.modes)
+        np.testing.assert_allclose(
+            np.asarray(power[b]), np.asarray(tf.values), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(residue[b]),
+            np.asarray(ys[b]) - np.asarray(modes[b]).sum(0),
+            atol=1e-8,
+        )
+    power_teo, _, _, _ = hht_batch(t, ys, grid, max_modes=6, method="TEO")
+    for b in range(2):
+        tf = HHT(grid, method="TEO")(TSeries(t, ys[b]))
+        np.testing.assert_allclose(
+            np.asarray(power_teo[b]), np.asarray(tf.values), atol=1e-8
+        )
+
+
+def test_emd_batch_matches_sequential():
+    from periodicity_tpu.ops.emd import emd_batch
+    from periodicity_tpu.decomposition import EMD
+
+    t = np.linspace(0, 10, 512)
+    ys = np.stack([
+        np.sin(2 * np.pi * t * 3.0) + 0.5 * np.sin(2 * np.pi * t * 0.4),
+        np.sin(2 * np.pi * t * 1.5),
+    ])
+    modes, residue, n_modes = emd_batch(t, ys, max_modes=6)
+    for b in range(2):
+        seq = EMD()(TSeries(t, ys[b]), max_modes=6)
+        assert int(n_modes[b]) == len(seq)
+        for k, m in enumerate(seq):
+            np.testing.assert_allclose(
+                np.asarray(modes[b, k]), np.asarray(m.values), atol=1e-10
+            )
