@@ -88,7 +88,14 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
             Sh, Ch = trig_sum(t, w * y, df, nf, fmin)
             if fit_mean:
                 S, C = trig_sum(t, w, df, nf, fmin)
-        S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin)
+        # In float32 the 2f sum runs on a half-size grid (oversample ~4.2
+        # instead of ~8.4): its extirpolation error (~1e-2 relative on the
+        # smallest powers) is subdominant to f32 rounding (~5e-3, see
+        # docs/performance.md) and the FFT cost of this pipeline halves.
+        # float64 keeps the full grid for reference-formula parity.
+        f32 = jnp.result_type(t.dtype, y.dtype, jnp.float32) == jnp.float32
+        nfft_2f = grid_size(nf, 5) // 2 if f32 else grid_size(nf, 5)
+        S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin, nfft=nfft_2f)
     else:
         freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
 
@@ -153,7 +160,10 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
         Sh, Ch = trig_sum_batch(t, w * ys, df, nf, fmin)
         if fit_mean:
             S, C = trig_sum_batch(t, w, df, nf, fmin)
-    S2, C2 = trig_sum_batch(t, w, 2 * df, nf, 2 * fmin)
+    # dtype-adaptive 2f grid, matching the single-series fast path
+    f32 = jnp.result_type(t.dtype, ys.dtype, jnp.float32) == jnp.float32
+    nfft_2f = grid_size(nf, 5) // 2 if f32 else grid_size(nf, 5)
+    S2, C2 = trig_sum_batch(t, w, 2 * df, nf, 2 * fmin, nfft=nfft_2f)
     YY = jnp.sum(w * ys**2, axis=1, keepdims=True)
     inv_var_sum = jnp.sum(errs ** -2.0, axis=1, keepdims=True)
     return _assemble_gls_power(
