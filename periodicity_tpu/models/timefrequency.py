@@ -16,7 +16,8 @@ host numpy:
 - ``CompositeSpectrum``: GWPS x on-device interpolated ACF (reference
   timefrequency.py:305-318).
 - ``denoise``: single-jit soft-threshold DWT with generated db1-db20 /
-  sym2-sym20 filter banks (reference timefrequency.py:151-159 delegates to
+  sym2-sym20 / coif1-coif5 / biorNr.Nd / rbioNr.Nd filter banks
+  (reference timefrequency.py:151-159 delegates to
   PyWavelets).
 """
 

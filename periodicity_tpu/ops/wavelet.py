@@ -26,6 +26,7 @@ __all__ = [
     "cwt_morlet",
     "hilbert",
     "scaling_filter",
+    "filter_bank",
     "dwt_per",
     "idwt_per",
     "wavedec",
@@ -210,12 +211,182 @@ def _symlet(n_moments):
     return best
 
 
+def _coiflet(k_order):
+    """Coiflet (coifK) scaling filter, length 6K, K = 1..5.
+
+    Construction (Daubechies 1992, ch. 8, done as exact linear algebra
+    plus a tiny nonlinear solve): BOTH moment families are linear in h —
+    sum h = sqrt(2), the 2K vanishing wavelet moments, and the 2K-1
+    vanishing scaling-function moments about the center c = 4K-1 (the
+    published filters' orientation; its mirror c = 2K is the time-reversed
+    solution, and the "centroid" center 3K admits NO exact solution for
+    K >= 3 — verified numerically, every solver bottoms out at a ~5e-8
+    least-squares floor there). Parametrizing that affine subspace by its
+    2K-dimensional null space leaves only the 3K orthonormality conditions:
+    a small overdetermined-but-consistent quadratic system solved by
+    multi-start Levenberg-Marquardt + Gauss-Newton polish to ~1e-14.
+    Among the discrete solution set, the least phase-nonlinear root is
+    selected (the same criterion as the symlet construction), which
+    reproduces the published coif1 table exactly."""
+    L = 6 * k_order
+    c = 4.0 * k_order - 1.0
+    m = np.arange(L, dtype=float)
+    sgn = (-1.0) ** np.arange(L)
+
+    rows, rhs = [np.ones(L)], [np.sqrt(2.0)]
+    for p in range(2 * k_order):
+        sc = max(np.max(np.abs((m - c) ** p)), 1.0)
+        rows.append(sgn * (m - c) ** p / sc)
+        rhs.append(0.0)
+    for p in range(1, 2 * k_order):
+        sc = max(np.max(np.abs((m - c) ** p)), 1.0)
+        rows.append((m - c) ** p / sc)
+        rhs.append(0.0)
+    A = np.stack(rows)
+    b = np.asarray(rhs)
+    h_part, *_ = np.linalg.lstsq(A, b, rcond=None)
+    if np.max(np.abs(A @ h_part - b)) > 1e-12:
+        raise ValueError(f"coif{k_order}: moment system inconsistent")
+    _, S, Vt = np.linalg.svd(A)
+    B = Vt[np.sum(S > 1e-10):].T  # [L, 2K] null-space basis
+
+    def orth_res(theta):
+        h = h_part + B @ theta
+        return np.asarray(
+            [
+                np.dot(h[: L - 2 * k], h[2 * k:]) - (1.0 if k == 0 else 0.0)
+                for k in range(3 * k_order)
+            ]
+        )
+
+    def orth_jac(theta):
+        h = h_part + B @ theta
+        out = []
+        for k in range(3 * k_order):
+            row = np.zeros(L)
+            row[: L - 2 * k] += h[2 * k:]
+            row[2 * k:] += h[: L - 2 * k]
+            out.append(row @ B)
+        return np.stack(out)
+
+    def lm(theta):
+        lam = 1e-3
+        r = orth_res(theta)
+        cost = np.sum(r * r)
+        for _ in range(300):
+            if np.max(np.abs(r)) < 1e-14:
+                break
+            J = orth_jac(theta)
+            JtJ = J.T @ J
+            g = J.T @ r
+            ok = False
+            for _ in range(50):
+                try:
+                    step = np.linalg.solve(
+                        JtJ + lam * np.diag(np.diag(JtJ) + 1e-14), g
+                    )
+                except np.linalg.LinAlgError:
+                    lam *= 10
+                    continue
+                tn = theta - step
+                rn = orth_res(tn)
+                cn = np.sum(rn * rn)
+                if cn < cost:
+                    theta, r, cost = tn, rn, cn
+                    lam = max(lam * 0.3, 1e-14)
+                    ok = True
+                    break
+                lam *= 10
+            if not ok:
+                break
+        # Gauss-Newton polish (quadratic near an exact root)
+        for _ in range(20):
+            r = orth_res(theta)
+            if np.max(np.abs(r)) < 1e-14:
+                break
+            theta = theta - np.linalg.lstsq(orth_jac(theta), r, rcond=None)[0]
+        return theta, np.max(np.abs(orth_res(theta)))
+
+    def phase_score(h):
+        omega = np.linspace(0.01, np.pi - 0.01, 256)
+        resp = np.exp(-1j * np.outer(omega, np.arange(L))) @ h
+        phase = np.unwrap(np.angle(resp))
+        slope = np.dot(phase, omega) / np.dot(omega, omega)
+        return np.sum((phase - slope * omega) ** 2)
+
+    rng = np.random.default_rng(12345)
+    roots = []
+    for trial in range(3000):
+        theta0 = rng.standard_normal(B.shape[1]) * (0.1 + 2.0 * trial / 3000)
+        theta, res = lm(theta0)
+        if res < 1e-12:
+            h = h_part + B @ theta
+            if not any(np.max(np.abs(h - r0)) < 1e-8 for r0 in roots):
+                roots.append(h)
+        if len(roots) >= 4 and trial > 200:
+            break
+        if roots and trial > 1200:
+            break
+    if not roots:
+        raise ValueError(f"coif{k_order} construction did not converge")
+    return min(roots, key=phase_score)
+
+
+def _binom_filter(n):
+    """Binomial (B-spline) coefficients C(n, k), k=0..n."""
+    from math import comb
+
+    return np.asarray([comb(n, k) for k in range(n + 1)], float)
+
+
+def _bior_pair(nr, nd):
+    """CDF spline biorthogonal lowpass pair (dec_lo, rec_lo) for
+    ``biorNr.Nd`` (Cohen, Daubechies & Feauveau 1992).
+
+    rec_lo is the order-``nr`` binomial spline filter; dec_lo is the dual
+    filter sqrt(2) 2^-Nd (1+z)^Nd Q(y) with y = (2-z-z^-1)/4 and
+    Q(y) = sum_{k<p} C(p-1+k, k) y^k, p = (Nr+Nd)/2 — the same maxflat
+    half-band remainder as the Daubechies construction, split between the
+    two sides instead of spectrally factored. Exact integer/binomial
+    arithmetic; both filters are symmetric."""
+    from math import comb
+
+    if (nr + nd) % 2:
+        raise ValueError("bior orders must share parity")
+    p = (nr + nd) // 2
+    rec = _binom_filter(nr) * (np.sqrt(2.0) / 2.0**nr)
+    # Q(y) expanded in z: y = (2 - z - z^-1)/4 -> coefficient array of
+    # [-1, 2, -1]/4 convolved k times (centered Laurent poly)
+    q = np.zeros(1)
+    q[0] = comb(p - 1, 0)
+    y_poly = np.asarray([-1.0, 2.0, -1.0]) / 4.0
+    y_pow = np.asarray([1.0])
+    for k in range(1, p):
+        y_pow = np.convolve(y_pow, y_poly)
+        term = comb(p - 1 + k, k) * y_pow
+        q_new = np.zeros(len(term))
+        q_new[(len(term) - len(q)) // 2 : (len(term) - len(q)) // 2 + len(q)] = q
+        q = q_new + term
+    dec = np.convolve(_binom_filter(nd), q) * (np.sqrt(2.0) / 2.0**nd)
+    return dec, rec
+
+
+_BIOR_ORDERS = [
+    (1, 1), (1, 3), (1, 5),
+    (2, 2), (2, 4), (2, 6), (2, 8),
+    (3, 1), (3, 3), (3, 5), (3, 7), (3, 9),
+    (4, 4), (5, 5), (6, 8),
+]
+
 _FILTER_CACHE = {}
+_BANK_CACHE = {}
 
 
 def scaling_filter(family):
-    """Orthonormal scaling (low-pass) filter for ``dbN`` (N=1..20) and
-    ``symN`` (N=2..20), increasing-index convention, sum = sqrt(2)."""
+    """Orthonormal scaling (low-pass) filter for ``dbN`` (N=1..20),
+    ``symN`` (N=2..20) and ``coifN`` (N=1..5), increasing-index
+    convention, sum = sqrt(2). Biorthogonal families have two lowpass
+    filters — use :func:`filter_bank` for those."""
     if family not in _FILTER_CACHE:
         kind = family.rstrip("0123456789")
         num = family[len(kind):]
@@ -226,15 +397,148 @@ def scaling_filter(family):
             _FILTER_CACHE[family] = _daubechies(n_moments)
         elif kind == "sym" and 2 <= n_moments <= 20:
             _FILTER_CACHE[family] = _symlet(n_moments)
+        elif kind == "coif" and 1 <= n_moments <= 5:
+            _FILTER_CACHE[family] = _coiflet(n_moments)
         else:
             raise ValueError(f"Unknown wavelet family {family}")
     return _FILTER_CACHE[family]
+
+
+def _parse_bior(family):
+    kind = "rbio" if family.startswith("rbio") else "bior"
+    try:
+        nr, nd = family[len(kind):].split(".")
+        nr, nd = int(nr), int(nd)
+    except ValueError:
+        raise ValueError(f"Unknown wavelet family {family}") from None
+    if (nr, nd) not in _BIOR_ORDERS:
+        raise ValueError(f"Unknown wavelet family {family}")
+    return kind, nr, nd
+
+
+def filter_bank(family):
+    """(dec_lo, dec_hi, rec_lo, rec_hi) for any supported family.
+
+    Orthogonal families (db/sym/coif) derive both banks from the scaling
+    filter by quadrature mirror. Biorthogonal ``biorNr.Nd`` (and the
+    reversed ``rbioNr.Nd``) use the CDF spline pair with the alignment
+    rule derived from the exhaustive perfect-reconstruction search over
+    (placement, sign, shift, reversal) conventions: center-align the two
+    symmetric lowpass filters (the biorthogonality delta then sits on the
+    even lattice), and build both highpass filters by alternating signs at
+    a common extra shift whose parity equals the filter-length parity.
+    Every bank is still PR-verified once at construction — a wrong
+    convention cannot reconstruct. Tap shifts are linear within a padded
+    buffer, never circular (a wrapped tap would land n-L samples away in
+    signal space)."""
+    if family in _BANK_CACHE:
+        return _BANK_CACHE[family]
+    if family.startswith(("bior", "rbio")):
+        kind, nr, nd = _parse_bior(family)
+        dec, rec = _bior_pair(nr, nd)
+        if kind == "rbio":
+            dec, rec = rec, dec
+        o_d = 4 + max(0, -((len(dec) - len(rec)) // 2))
+        o_rel = o_d + (len(dec) - len(rec)) // 2  # center alignment
+        Lp = max(o_d + len(dec), o_rel + len(rec)) + 4
+        Lp = Lp + (Lp % 2)
+
+        def embed(f, off):
+            out = np.zeros(Lp)
+            out[off : off + len(f)] = f
+            return out
+
+        alt = np.where(np.arange(Lp) % 2 == 0, 1.0, -1.0)
+        delta0 = -1 if len(dec) % 2 else -2
+
+        # pure-numpy PR probe: filter_bank may first run inside a jit
+        # trace (wavedec under dwt_denoise), where jnp ops would stage
+        # into tracers instead of executing
+        def np_pr_err(bank, x):
+            dlo, dhi, rlo, rhi = bank
+            n = x.shape[0]
+            taps = dlo.shape[0]
+            g = (
+                2 * np.arange(n // 2)[:, None] + np.arange(taps)[None, :]
+            ) % n
+            win = x[g]
+            a, d = win @ dlo, win @ dhi
+            up_a = np.zeros(n)
+            up_a[::2] = a
+            up_d = np.zeros(n)
+            up_d[::2] = d
+            xr = np.zeros(n)
+            for m in range(taps):
+                xr += rlo[m] * np.roll(up_a, m) + rhi[m] * np.roll(up_d, m)
+            return np.max(np.abs(xr - x))
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(64)
+        bank = None
+        for j in range(4):
+            delta = delta0 + 2 * j
+            o1, o2 = o_rel + delta, o_d + delta
+            if o1 < 0 or o2 < 0 or o1 + len(rec) > Lp or o2 + len(dec) > Lp:
+                continue
+            cand = (
+                embed(dec, o_d),
+                alt * embed(rec, o1),
+                embed(rec, o_rel),
+                alt * embed(dec, o2),
+            )
+            if np_pr_err(cand, x) < 1e-8:
+                bank = cand
+                break
+        if bank is None:
+            raise ValueError(
+                f"{family}: perfect-reconstruction verification failed"
+            )
+        _BANK_CACHE[family] = bank
+        return bank
+    lo = np.asarray(scaling_filter(family))
+    hi = lo[::-1] * np.where(np.arange(len(lo)) % 2 == 0, 1.0, -1.0)
+    bank = (lo, hi, lo, hi)
+    _BANK_CACHE[family] = bank
+    return bank
 
 
 def _quadrature_mirror(lo):
     """High-pass filter g[m] = (-1)^m lo[L-1-m] from the low-pass."""
     hi = lo[::-1] * jnp.where(jnp.arange(lo.shape[0]) % 2 == 0, 1.0, -1.0)
     return hi
+
+
+def _dwt_per_bank(x, bank):
+    """One periodized analysis level with an explicit (dec_lo, dec_hi)
+    pair -> (approx, detail)."""
+    dec_lo, dec_hi = bank[0], bank[1]
+    x = jnp.asarray(x)
+    dec_lo = jnp.asarray(dec_lo, x.dtype)
+    dec_hi = jnp.asarray(dec_hi, x.dtype)
+    n = x.shape[0]
+    if n % 2 == 1:
+        x = jnp.concatenate([x, x[-1:]])
+        n += 1
+    taps = dec_lo.shape[0]
+    gather = (2 * jnp.arange(n // 2)[:, None] + jnp.arange(taps)[None, :]) % n
+    windows = x[gather]
+    return windows @ dec_lo, windows @ dec_hi
+
+
+def _idwt_per_bank(ca, cd, bank):
+    """Periodized synthesis with an explicit (rec_lo, rec_hi) pair."""
+    rec_lo, rec_hi = bank[2], bank[3]
+    ca = jnp.asarray(ca)
+    cd = jnp.asarray(cd, ca.dtype)
+    rec_lo = jnp.asarray(rec_lo, ca.dtype)
+    rec_hi = jnp.asarray(rec_hi, ca.dtype)
+    n = 2 * ca.shape[0]
+    up_a = jnp.zeros(n, ca.dtype).at[::2].set(ca)
+    up_d = jnp.zeros(n, ca.dtype).at[::2].set(cd)
+    taps = rec_lo.shape[0]
+    rolled_a = jnp.stack([jnp.roll(up_a, m) for m in range(taps)])
+    rolled_d = jnp.stack([jnp.roll(up_d, m) for m in range(taps)])
+    return rec_lo @ rolled_a + rec_hi @ rolled_d
 
 
 def dwt_per(x, lo):
@@ -246,16 +550,8 @@ def dwt_per(x, lo):
     The phase convention may differ from pywt "per" by a circular shift,
     which idwt_per inverts exactly and thresholding is insensitive to.
     """
-    x = jnp.asarray(x)
-    lo = jnp.asarray(lo, x.dtype)
-    n = x.shape[0]
-    if n % 2 == 1:
-        x = jnp.concatenate([x, x[-1:]])
-        n += 1
-    taps = lo.shape[0]
-    gather = (2 * jnp.arange(n // 2)[:, None] + jnp.arange(taps)[None, :]) % n
-    windows = x[gather]
-    return windows @ lo, windows @ _quadrature_mirror(lo)
+    lo = jnp.asarray(lo)
+    return _dwt_per_bank(x, (lo, _quadrature_mirror(lo), lo, None))
 
 
 def idwt_per(ca, cd, lo):
@@ -265,17 +561,8 @@ def idwt_per(ca, cd, lo):
     stack of rolled upsampled coefficient arrays contracted against the
     filter taps (branch-free; no scatter).
     """
-    ca = jnp.asarray(ca)
-    cd = jnp.asarray(cd, ca.dtype)
-    lo = jnp.asarray(lo, ca.dtype)
-    hi = _quadrature_mirror(lo)
-    n = 2 * ca.shape[0]
-    up_a = jnp.zeros(n, ca.dtype).at[::2].set(ca)
-    up_d = jnp.zeros(n, ca.dtype).at[::2].set(cd)
-    taps = lo.shape[0]
-    rolled_a = jnp.stack([jnp.roll(up_a, m) for m in range(taps)])
-    rolled_d = jnp.stack([jnp.roll(up_d, m) for m in range(taps)])
-    return lo @ rolled_a + hi @ rolled_d
+    lo = jnp.asarray(lo)
+    return _idwt_per_bank(ca, cd, (lo, None, lo, _quadrature_mirror(lo)))
 
 
 def max_dwt_level(n, taps):
@@ -288,20 +575,22 @@ def max_dwt_level(n, taps):
 def wavedec(x, family="db4", level=None):
     """Multi-level periodized DWT -> [cA_n, cD_n, ..., cD_1].
 
-    The level count is static given the input length, so the whole
-    decomposition traces into one XLA program when called under jit.
+    Supports orthogonal (db1-20, sym2-20, coif1-5) and biorthogonal
+    (biorNr.Nd / rbioNr.Nd) families. The level count is static given the
+    input length, so the whole decomposition traces into one XLA program
+    when called under jit.
     """
-    lo = scaling_filter(family)
+    bank = filter_bank(family)
     x = jnp.asarray(x)
     n = x.shape[0]
     if level is None:
-        level = max_dwt_level(n, len(lo))
+        level = max_dwt_level(n, len(bank[0]))
     coefs = []
     approx = x
     for _ in range(level):
         if approx.shape[0] < 2:
             break
-        approx, detail = dwt_per(approx, lo)
+        approx, detail = _dwt_per_bank(approx, bank)
         coefs.append(detail)
     coefs.append(approx)
     return coefs[::-1]
@@ -309,11 +598,11 @@ def wavedec(x, family="db4", level=None):
 
 def waverec(coefs, family="db4"):
     """Inverse of wavedec."""
-    lo = scaling_filter(family)
+    bank = filter_bank(family)
     approx = jnp.asarray(coefs[0])
     for detail in coefs[1:]:
         detail = jnp.asarray(detail)
-        approx = idwt_per(approx[: detail.shape[0]], detail, lo)
+        approx = _idwt_per_bank(approx[: detail.shape[0]], detail, bank)
     return approx
 
 

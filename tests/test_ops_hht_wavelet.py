@@ -197,3 +197,78 @@ def test_dwt_denoise_jit_and_vmap():
     err_before = np.std(batch - clean[None], axis=1)
     err_after = np.std(np.asarray(many) - clean[None], axis=1)
     assert (err_after < 0.8 * err_before).all()
+
+
+def test_coiflet_construction_properties():
+    """coif1-5: exact orthonormality, 2K vanishing wavelet moments, 2K-1
+    vanishing scaling moments about c = 4K-1, sum sqrt(2); coif1 matches
+    the published table."""
+    COIF1_PUB = np.array([
+        -0.01565572813546454, -0.0727326195128539, 0.38486484686420286,
+        0.8525720202122554, 0.3378976624578092, -0.0727326195128539,
+    ])
+    for K in range(1, 6):
+        h = np.asarray(wav.scaling_filter(f"coif{K}"))
+        L = 6 * K
+        assert h.shape == (L,)
+        assert abs(h.sum() - np.sqrt(2)) < 1e-11
+        for k in range(3 * K):
+            tgt = 1.0 if k == 0 else 0.0
+            assert abs(np.dot(h[: L - 2 * k], h[2 * k:]) - tgt) < 1e-11
+        m = np.arange(L, dtype=float)
+        sgn = (-1.0) ** np.arange(L)
+        c = 4 * K - 1
+        for p in range(2 * K):
+            sc = max(np.max(np.abs((m - c) ** p)), 1.0)
+            assert abs(np.dot(sgn * (m - c) ** p, h)) / sc < 1e-10
+        for p in range(1, 2 * K):
+            sc = max(np.max(np.abs((m - c) ** p)), 1.0)
+            assert abs(np.dot((m - c) ** p, h)) / sc < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(wav.scaling_filter("coif1")), COIF1_PUB, atol=1e-11
+    )
+
+
+def test_bior_filter_values_and_pr():
+    """bior2.2 is the CDF 5/3 pair (exact published values); every
+    bior/rbio family perfectly reconstructs through multi-level
+    wavedec/waverec."""
+    dec_lo, _, rec_lo, _ = wav.filter_bank("bior2.2")
+    nz_d = dec_lo[np.abs(dec_lo) > 0]
+    nz_r = rec_lo[np.abs(rec_lo) > 0]
+    np.testing.assert_allclose(
+        nz_d, np.sqrt(2) * np.array([-1 / 8, 1 / 4, 3 / 4, 1 / 4, -1 / 8]),
+        atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        nz_r, np.sqrt(2) * np.array([1 / 4, 1 / 2, 1 / 4]), atol=1e-14
+    )
+    rng = np.random.default_rng(3)
+    from periodicity_tpu.ops.wavelet import _BIOR_ORDERS
+
+    for nr, nd in _BIOR_ORDERS:
+        for fam in (f"bior{nr}.{nd}", f"rbio{nr}.{nd}"):
+            x = rng.standard_normal(128)
+            rec = np.asarray(wav.waverec(wav.wavedec(x, fam), fam))[:128]
+            assert np.max(np.abs(rec - x)) < 1e-9, fam
+
+
+def test_coif_bior_perfect_reconstruction_and_denoise():
+    rng = np.random.default_rng(4)
+    for fam in ("coif1", "coif3", "coif5"):
+        x = rng.standard_normal(257)
+        rec = np.asarray(wav.waverec(wav.wavedec(x, fam), fam))[:257]
+        assert np.max(np.abs(rec - x)) < 1e-9, fam
+    # denoise runs under jit with the new families and still denoises
+    t = np.linspace(0, 1, 512)
+    clean = np.sin(2 * np.pi * 5 * t)
+    noisy = clean + 0.3 * rng.standard_normal(512)
+    for fam in ("coif2", "bior2.4", "rbio3.5"):
+        den = np.asarray(
+            wav.dwt_denoise(
+                jnp.asarray(noisy),
+                0.3 * np.sqrt(2 * np.log(512)),
+                family=fam,
+            )
+        )
+        assert np.std(den - clean) < 0.8 * np.std(noisy - clean), fam
