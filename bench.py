@@ -46,9 +46,11 @@ def main():
     def loop(y):
         def body(_, carry):
             y, acc = carry
-            # fmin = df/2 -> conjugate-symmetry pairing: 2 scatter+FFT
-            # pipelines per periodogram instead of 3
-            p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1)
+            # fmin = df/2 -> conjugate-symmetry pairing: 2 grid+FFT
+            # pipelines per periodogram instead of 3; grids built by the
+            # Pallas one-hot MXU kernel (sorted, non-wrapping positions)
+            p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1,
+                          gridder="pallas")
             return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
 
         return jax.lax.fori_loop(0, k_iters, body, (y, jnp.float32(0.0)))[1]

@@ -27,7 +27,8 @@ from jax.scipy.special import ndtri
 from ...core import TSeries
 from ...ops.optimize import lbfgs_box
 from . import mcmc as _mcmc
-from .pscan import log_likelihood_blocked, log_likelihood_pscan
+from .pscan import (log_likelihood_blocked, log_likelihood_pscan,
+                    log_likelihood_sharded)
 from .solver import GaussianProcess, log_likelihood
 from .terms import BrownianTerm, RotationTerm
 
@@ -55,10 +56,22 @@ class CeleriteModeler:
     prior_transform(u) with u in (0, 100)^ndim."""
 
     def __init__(self, signal, err, init_period=None, period_ppf=None,
-                 solver="scan"):
+                 solver="scan", mesh=None, mesh_axis="seq"):
         if not isinstance(signal, TSeries):
             signal = TSeries(values=signal)
         self.solver = solver
+        if solver == "sharded":
+            if mesh is None:
+                raise ValueError(
+                    "solver='sharded' needs a jax.sharding.Mesh via mesh="
+                )
+            if signal.size % mesh.shape[mesh_axis]:
+                raise ValueError(
+                    f"series length {signal.size} must be divisible by "
+                    f"mesh axis {mesh_axis!r} size {mesh.shape[mesh_axis]}"
+                )
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.signal = signal
         self.err = jnp.asarray(err)
         self.t = signal.time
@@ -101,6 +114,13 @@ class CeleriteModeler:
             ll_fn = log_likelihood_pscan
         elif self.solver == "blocked":
             ll_fn = log_likelihood_blocked
+        elif self.solver == "sharded":
+            # sequence-parallel: time axis sharded over self.mesh, one
+            # all_gather of per-chip Kalman block summaries per evaluation
+            def ll_fn(kernel, t, diag, resid):
+                return log_likelihood_sharded(
+                    kernel, t, diag, resid, self.mesh, axis=self.mesh_axis
+                )
         else:
             ll_fn = log_likelihood
         ll = ll_fn(kernel, self.t, self.err**2 + jitter, self.y - mean)
@@ -238,9 +258,9 @@ class BrownianGP(CeleriteModeler):
     """SHO + overdamped-background kernel modeler (reference gp.py:500-517)."""
 
     def __init__(self, signal, err, init_period=None, period_ppf=None,
-                 solver="scan"):
+                 solver="scan", **kw):
         self.ndim = 6
-        super().__init__(signal, err, init_period, period_ppf, solver)
+        super().__init__(signal, err, init_period, period_ppf, solver, **kw)
 
     def _kernel(self, sigma, tau, period, mix):
         return BrownianTerm(sigma, tau, period, mix)
@@ -262,9 +282,9 @@ class HarmonicGP(CeleriteModeler):
     """RotationTerm kernel modeler (reference gp.py:520-538)."""
 
     def __init__(self, signal, err, init_period=None, period_ppf=None,
-                 solver="scan"):
+                 solver="scan", **kw):
         self.ndim = 7
-        super().__init__(signal, err, init_period, period_ppf, solver)
+        super().__init__(signal, err, init_period, period_ppf, solver, **kw)
 
     def _kernel(self, sigma, period, Q0, dQ, f):
         return RotationTerm(sigma=sigma, period=period, Q0=Q0, dQ=dQ, f=f)

@@ -268,6 +268,7 @@ def _pkf_loglik_blocked(A, Pinf, H, diag, y, n_blocks):
     return _innovation_loglik(A, Q, Pinf, H, diag, y, m_filt, P_filt)
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis"))
 def _sharded_pkf_loglik(A, Pinf, H, diag, y, mesh, axis):
     """Chip-sharded two-level Kalman composition (the multi-chip extension
     of ``_pkf_loglik_blocked``): the time axis is split into one contiguous

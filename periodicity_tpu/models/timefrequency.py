@@ -451,8 +451,12 @@ def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
     time [N], values [B, N], frequencies [F] ->
     (power [B, F, N], modes [B, max_modes, N], residue [B, N], n_modes [B]).
     Mode slots past a member's count are zero; each member's spectrogram
-    matches the sequential ``HHT(frequencies, method=...)(y_b)``. Shard the
-    leading axis over a mesh for multi-chip batches.
+    matches the sequential ``HHT(frequencies, method=...)(y_b)`` whenever
+    that member decomposes into at most ``max_modes`` IMFs (the batch runs
+    at fixed mode capacity under jit — raise ``max_modes`` if members are
+    expected to carry more; surplus modes' energy would otherwise be
+    dropped, or for TEO/HT the mode-count power scale would differ).
+    Shard the leading axis over a mesh for multi-chip batches.
     """
     if method.upper() not in _IF_METHODS:
         raise ValueError(f"Method {method} is unknown.")

@@ -1,0 +1,158 @@
+"""Pallas TPU extirpolation gridding v2: one-hot MXU matmul accumulation.
+
+Second-generation scatter-free spreading kernel for the Press-Rybicki hot
+loop (reference spectral.py:24,33 ``np.add.at``). The round-1 kernel
+(ops/pallas_grid.py) was correct but slow (~47 ms at N=1e5, nfft=2^23):
+16384 one-tile programs paid ~3 us each of program/predication overhead.
+This kernel restructures the computation so everything inside a program is
+a static-shape vector/matrix op:
+
+- the grid is processed in SUPERBLOCKS of 64 rows x 512 lanes = 32768
+  cells (256 programs at nfft=2^23);
+- each program walks its samples in 1024-aligned windows (sorted
+  positions -> contiguous sample ranges, bounds via scalar prefetch);
+- per window and per Lagrange tap j, the absolute in-block cell
+  c = ilo + j - base decomposes as c = 512*bin + h (bin == output row);
+  the spread becomes acc[bin, h] += sum_s val_j[s] * onehot[bin_j[s] ==
+  bin] — ONE [64, 1024] x [1024, 512] matmul per (tap, plane) on the
+  MXU, with the one-hot M and value-carrying V built by vectorized
+  compares (the accumulator IS the output block; no in-kernel reshape,
+  which Mosaic cannot lower);
+- out-of-block taps simply fail the one-hot match (no spill bookkeeping);
+  boundary-straddling samples appear in both neighbors' windows and each
+  block keeps only its own cells;
+
+Cost model: ~(points x block_cells) MACs total = 4N x 32768 per plane
+pass; at N=1e5 that is ~2 x 45 G MACs — ~1-2 ms of f32 MXU time, vs
+~10.7 ms for the XLA scatter floor (docs/performance.md).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["extirpolate_grid_factored"]
+
+_ALIGN = 1024  # sample-window alignment (Mosaic 1-D dynamic-load unit)
+_LANES = 512  # output block lane width == one-hot second-level width
+_ROWS = 64  # output block rows == number of bins per superblock
+_BINW = _LANES  # bin width; acc [_ROWS, _BINW] IS the output block
+_NBINS = _ROWS
+
+
+def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
+            l0_ref, l1_ref, l2_ref, l3_ref, out_re_ref, out_im_ref):
+    b = pl.program_id(0)
+    base = b * (_ROWS * _LANES)
+    s = starts_ref[b]
+    e = ends_ref[b]
+
+    acc_re = jnp.zeros((_NBINS, _BINW), jnp.float32)
+    acc_im = jnp.zeros((_NBINS, _BINW), jnp.float32)
+
+    iota_bins = jax.lax.broadcasted_iota(jnp.int32, (_NBINS, _ALIGN), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_ALIGN, _BINW), 1)
+    shift = _LANES.bit_length() - 1  # log2(bin width)
+    lag_refs = (l0_ref, l1_ref, l2_ref, l3_ref)
+
+    def body(carry):
+        chunk, acc_re, acc_im = carry
+        chunk = pl.multiple_of(chunk, _ALIGN)
+        ilo_w = ilo_ref[pl.ds(chunk, _ALIGN)]
+        ure_w = ure_ref[pl.ds(chunk, _ALIGN)]
+        uim_w = uim_ref[pl.ds(chunk, _ALIGN)]
+        off = ilo_w - base  # [_ALIGN]
+        for j in range(4):
+            lag_w = lag_refs[j][pl.ds(chunk, _ALIGN)]
+            c = off + j
+            valid = (c >= 0) & (c < _ROWS * _LANES)
+            # invalid samples get bin -1, which matches no one-hot row —
+            # the M mask alone suffices (Mosaic cannot minor-dim-insert
+            # an i1 vector, so no bool [:, None] anywhere)
+            c_safe = jnp.where(valid, c, -1)
+            bin_j = c_safe >> shift  # -1 for invalid -> matches no row
+            h_j = c_safe & (_BINW - 1)
+            m = (iota_bins == bin_j[None, :]).astype(jnp.float32)
+            sel = iota_h == h_j[:, None]
+            # The TPU matmul truncates f32 inputs to bf16 (measured 4e-3
+            # relative grid error at default precision; HIGHEST emulation
+            # blows the VMEM budget). The one-hot M is bf16-exact, so
+            # split each VALUE into a bf16 head plus an f32 tail before it
+            # enters the MXU: two exact-head dots per plane bound the
+            # error at ~bf16_eps^2 ~ 1.6e-5 relative.
+            v_re = ure_w * lag_w
+            v_im = uim_w * lag_w
+            for hi_lo in range(2):
+                if hi_lo == 0:
+                    vr = v_re.astype(jnp.bfloat16).astype(jnp.float32)
+                    vi = v_im.astype(jnp.bfloat16).astype(jnp.float32)
+                    v_re, v_im = v_re - vr, v_im - vi
+                else:
+                    vr, vi = v_re, v_im
+                acc_re = acc_re + jnp.dot(
+                    m, jnp.where(sel, vr[:, None], 0.0),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_im = acc_im + jnp.dot(
+                    m, jnp.where(sel, vi[:, None], 0.0),
+                    preferred_element_type=jnp.float32,
+                )
+        return chunk + _ALIGN, acc_re, acc_im
+
+    chunk0 = (s // _ALIGN) * _ALIGN
+    _, acc_re, acc_im = jax.lax.while_loop(
+        lambda carry: carry[0] < e, body, (chunk0, acc_re, acc_im)
+    )
+    # bins ARE the output rows (bin width == lane width): no reshape
+    out_re_ref[...] = acc_re
+    out_im_ref[...] = acc_im
+
+
+@partial(jax.jit, static_argnames=("nfft", "interpret"))
+def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False):
+    """Spread u * lag[:, j] at sorted bases ilo [N]: the factored form the
+    trig-sum pipelines produce (u = complex weights x phase rotation, lag =
+    4-point Lagrange weights). Returns (grid_re, grid_im) [nfft] f32."""
+    block = _ROWS * _LANES
+    assert nfft % block == 0
+    n_blocks = nfft // block
+    ilo = jnp.asarray(ilo, jnp.int32)
+    base_ids = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    starts = jnp.searchsorted(ilo, base_ids - 3, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(ilo, base_ids + block, side="left").astype(jnp.int32)
+
+    pad = _ALIGN + (-ilo.shape[0]) % _ALIGN
+    zpad = jnp.zeros(pad, jnp.float32)
+    ilo_p = jnp.concatenate([ilo, jnp.full(pad, nfft + 8, jnp.int32)])
+    ure_p = jnp.concatenate([jnp.asarray(u_re, jnp.float32), zpad])
+    uim_p = jnp.concatenate([jnp.asarray(u_im, jnp.float32), zpad])
+    lags = [
+        jnp.concatenate([jnp.asarray(lag[:, j], jnp.float32), zpad])
+        for j in range(4)
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[
+            pl.BlockSpec((_ROWS, _LANES), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _LANES), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_re, out_im = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nfft // _LANES, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nfft // _LANES, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, ends, ilo_p, ure_p, uim_p, *lags)
+    return out_re.reshape(nfft), out_im.reshape(nfft)

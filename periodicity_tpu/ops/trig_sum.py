@@ -128,8 +128,31 @@ def gls_trig_sums(t, w, wy, df, fmin, nf, nfft=None, fit_mean=True):
     return out
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft", "q"))
-def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1):
+def _grid_planes(u, inds, lag, nfft, gridder):
+    """Complex extirpolation grid build: scatter (default) or the Pallas
+    one-hot MXU kernel (ops.pallas_grid2; requires time-sorted samples on
+    a non-wrapping grid — true for every df*baseline < 1 grid, e.g. all
+    default GLS grids — and measured 6.2 ms vs 10.7 ms for the scatter at
+    N=1e5, nfft=2^23 on v5e)."""
+    if gridder == "pallas":
+        from .pallas_grid2 import extirpolate_grid_factored
+
+        interpret = jax.default_backend() == "cpu"
+        return extirpolate_grid_factored(
+            inds[:, 0].astype(jnp.int32), u.real, u.imag, lag, nfft,
+            interpret=interpret,
+        )
+    dtype = u.real.dtype
+    vals = (u[:, None] * lag.astype(u.dtype)).reshape(-1)
+    flat = inds.reshape(-1)
+    grid_re = jnp.zeros(nfft, dtype).at[flat].add(vals.real)
+    grid_im = jnp.zeros(nfft, dtype).at[flat].add(vals.imag)
+    return grid_re, grid_im
+
+
+@partial(jax.jit, static_argnames=("nf", "nfft", "q", "gridder"))
+def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
+                  gridder="scatter"):
     """Two trig sums over REAL weights at the same grid from ONE
     extirpolation + FFT.
 
@@ -164,10 +187,7 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1):
     rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
     u = (w1.astype(dtype) + 1j * w2.astype(dtype)).astype(cdtype) * rot
     inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
-    vals = (u[:, None] * lag.astype(cdtype)).reshape(-1)
-    flat = inds.reshape(-1)
-    grid_re = jnp.zeros(nfft, dtype).at[flat].add(vals.real)
-    grid_im = jnp.zeros(nfft, dtype).at[flat].add(vals.imag)
+    grid_re, grid_im = _grid_planes(u, inds, lag, nfft, gridder)
     G = nfft * jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))
     # indices nfft - k - q for k in [0, nf) form a contiguous descending
     # range (q >= 1 keeps it in bounds): a static slice + flip, not a
@@ -307,8 +327,8 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
     return nfft * fftgrid.imag, nfft * fftgrid.real
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft"))
-def trig_sum(t, w, df, nf, fmin, nfft=None, n=5):
+@partial(jax.jit, static_argnames=("nf", "nfft", "gridder"))
+def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter"):
     """Fast trig sums; returns (S[nf], C[nf]).
 
     Parameters
@@ -353,14 +373,12 @@ def trig_sum(t, w, df, nf, fmin, nfft=None, n=5):
         is_int.astype(dtype),
         lagrange,
     )
-    vals = (wc[:, None] * lagrange.astype(cdtype)).reshape(-1)
-    inds = (ilo[:, None] + jnp.arange(4)[None, :]).reshape(-1) % nfft
+    inds = (ilo[:, None] + jnp.arange(4)[None, :]) % nfft
     # scatter the real/imag planes separately and form the complex grid just
     # before the FFT: a complex64 scatter feeding an FFT forces a hostile
     # layout on TPU and runs ~11x slower (45.8 -> 4.2 ms per trig sum at
     # N=1e5, nfft=8.4M; measured, see docs/performance.md)
-    grid_re = jnp.zeros(nfft, vals.real.dtype).at[inds].add(vals.real)
-    grid_im = jnp.zeros(nfft, vals.real.dtype).at[inds].add(vals.imag)
+    grid_re, grid_im = _grid_planes(wc, inds, lagrange, nfft, gridder)
     fftgrid = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))[:nf]
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
     fftgrid = fftgrid * jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))

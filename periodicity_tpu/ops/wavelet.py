@@ -493,6 +493,16 @@ def filter_bank(family):
             raise ValueError(
                 f"{family}: perfect-reconstruction verification failed"
             )
+        # trim the common zero padding (by an EVEN offset, preserving the
+        # even/odd lattice alignment): dead taps would both inflate
+        # max_dwt_level (shallower decompositions than pywt's
+        # dwt_max_level) and waste a convolution multiply per zero tap
+        nz = np.flatnonzero(np.any([np.abs(f) > 0 for f in bank], axis=0))
+        lo_cut = (nz[0] // 2) * 2
+        hi_cut = nz[-1] + 1 + ((nz[-1] + 1 - lo_cut) % 2)
+        trimmed = tuple(f[lo_cut:hi_cut] for f in bank)
+        if np_pr_err(trimmed, x) < 1e-8:
+            bank = trimmed
         _BANK_CACHE[family] = bank
         return bank
     lo = np.asarray(scaling_filter(family))

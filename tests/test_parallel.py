@@ -157,3 +157,25 @@ def test_distributed_fft_matches_numpy(mesh):
     got = np.asarray(distributed_acf(ys, smesh))[: n // 2]
     ref_r = np.asarray(TSeries(np.arange(float(n)), y).acf(max_lag=n // 2).values)
     np.testing.assert_allclose(got, ref_r, atol=1e-10)
+
+
+def test_sharded_solver_in_modeler(mesh):
+    """BrownianGP with solver='sharded' + a mesh gives the same NLL
+    surface as the sequential scan."""
+    from jax.sharding import Mesh
+
+    from periodicity_tpu.models.gp.modelers import BrownianGP
+
+    rng = np.random.default_rng(0)
+    n = 512
+    t = np.sort(rng.uniform(0, 50.0, n))
+    y = np.sin(2 * np.pi * t / 5.0) + 0.1 * rng.standard_normal(n)
+    dy = np.full(n, 0.1)
+    sig = TSeries(t, y)
+    smesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+    m_scan = BrownianGP(sig, err=dy)
+    m_shard = BrownianGP(sig, err=dy, solver="sharded", mesh=smesh)
+    u = np.full(6, 50.0)
+    assert float(m_scan.nll(u)) == pytest.approx(
+        float(m_shard.nll(u)), rel=1e-10
+    )

@@ -238,3 +238,49 @@ def test_gls_power_batch_pair_q_matches_unpaired():
     p0 = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf))
     p1 = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf, pair_q=1))
     np.testing.assert_allclose(p1, p0, atol=5e-5 * p0.max())
+
+
+def test_gls_refine_lands_exact_peak():
+    """refine(): fast f32-style scan -> exact direct zoom recovers the
+    true frequency ~zoom x more precisely than the fast grid."""
+    rng = np.random.default_rng(2)
+    n = 1500
+    t = np.sort(rng.uniform(0, 80.0, n))
+    f_true = 1.0 / 7.31
+    y = np.sin(2 * np.pi * f_true * t) + 0.2 * rng.standard_normal(n)
+    err = np.full(n, 0.2)
+
+    gls = GLS()
+    fs = gls(TSeries(t, y), err=err)
+    df = gls.frequency[1] - gls.frequency[0]
+    coarse_err = abs(1.0 / float(fs.period_at_highest_peak) - f_true)
+
+    refined = gls.refine(n_peaks=2, zoom=32)
+    fine_err = abs(gls.refined_fbest - f_true)
+    assert fine_err <= coarse_err + 1e-12
+    assert fine_err < df / 4
+    # refined segment powers exceed-or-match the fast peak (exact method)
+    assert float(np.max(np.asarray(refined.values))) > 0.5
+
+
+def test_gls_pallas_gridder_matches_scatter():
+    """The one-hot MXU gridding kernel (interpret mode on CPU) produces
+    the same periodogram as the XLA scatter path."""
+    from periodicity_tpu.spectral import gls_power
+
+    rng = np.random.default_rng(5)
+    n, nf = 3000, 8192
+    t = np.sort(rng.uniform(0, 100.0, n)).astype(np.float32)
+    y = (np.sin(2 * np.pi * t / 7.7) + 0.3 * rng.standard_normal(n)).astype(
+        np.float32
+    )
+    err = np.full(n, 0.3, np.float32)
+    df = np.float32(0.5 / 100.0)
+    fmin = np.float32(df / 2)
+    ref = np.asarray(gls_power(t, y, err, df, fmin, nf, pair_q=1))
+    got = np.asarray(
+        gls_power(t, y, err, df, fmin, nf, pair_q=1, gridder="pallas")
+    )
+    # identical math up to the split-bf16 MXU accumulation (~1.6e-5 rel)
+    assert np.max(np.abs(got - ref)) < 5e-4
+    assert np.argmax(got) == np.argmax(ref)
