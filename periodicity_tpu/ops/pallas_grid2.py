@@ -7,14 +7,14 @@ loop (reference spectral.py:24,33 ``np.add.at``). The round-1 kernel
 This kernel restructures the computation so everything inside a program is
 a static-shape vector/matrix op:
 
-- the grid is processed in SUPERBLOCKS of 64 rows x 512 lanes = 32768
-  cells (256 programs at nfft=2^23);
+- the grid is processed in SUPERBLOCKS of 128 rows x 512 lanes = 65536
+  cells (128 programs at nfft=2^23);
 - each program walks its samples in 1024-aligned windows (sorted
   positions -> contiguous sample ranges, bounds via scalar prefetch);
 - per window and per Lagrange tap j, the absolute in-block cell
   c = ilo + j - base decomposes as c = 512*bin + h (bin == output row);
   the spread becomes acc[bin, h] += sum_s val_j[s] * onehot[bin_j[s] ==
-  bin] — ONE [64, 1024] x [1024, 512] matmul per (tap, plane) on the
+  bin] — ONE [128, 1024] x [1024, 512] matmul per (tap, plane) on the
   MXU, with the one-hot M and value-carrying V built by vectorized
   compares (the accumulator IS the output block; no in-kernel reshape,
   which Mosaic cannot lower);
@@ -22,9 +22,11 @@ a static-shape vector/matrix op:
   boundary-straddling samples appear in both neighbors' windows and each
   block keeps only its own cells;
 
-Cost model: ~(points x block_cells) MACs total = 4N x 32768 per plane
-pass; at N=1e5 that is ~2 x 45 G MACs — ~1-2 ms of f32 MXU time, vs
-~10.7 ms for the XLA scatter floor (docs/performance.md).
+Cost model: MACs ~= (aligned-window size) x (occupied grid cells) per
+(tap, plane, head/tail) pass — the window/block-size sweep in
+docs/performance.md sits at the program-overhead vs per-chunk-MAC
+optimum. Measured at N=1e5, nfft=2^23 on v5e: 5.8 ms per grid build vs
+10.7 ms for the XLA scatter floor.
 """
 
 from functools import partial
@@ -37,9 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["extirpolate_grid_factored"]
 
-_ALIGN = 1024  # sample-window alignment (Mosaic 1-D dynamic-load unit)
+_ALIGN = 1024  # sample-window alignment (Mosaic's hard 1-D dynamic-load
+# unit: 512 fails with "cannot statically prove multiple of 1024")
 _LANES = 512  # output block lane width == one-hot second-level width
-_ROWS = 64  # output block rows == number of bins per superblock
+_ROWS = 128  # output block rows (swept 32/64/128/256 -> 9.0/6.2/5.8/7.0
+# ms at the headline shape; program overhead vs per-chunk MAC tradeoff)
 _BINW = _LANES  # bin width; acc [_ROWS, _BINW] IS the output block
 _NBINS = _ROWS
 
