@@ -50,7 +50,8 @@ def config1_gls():
     def loop(y):
         def body(_, carry):
             y, acc = carry
-            p = gls_power(tj, y, ej, df, fmin, nf)
+            p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1,
+                          gridder="pallas")
             return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
 
         return jax.lax.fori_loop(0, k, body, (y, jnp.float32(0)))[1]

@@ -22,7 +22,7 @@ __all__ = ["sharded_gls", "sharded_pdm", "sharded_string_length", "sharded_acf"]
 
 
 def sharded_gls(t, y, err, df, fmin, nf, mesh, axis="grid",
-                fit_mean=True, psd=False):
+                fit_mean=True, psd=False, gridder="scatter"):
     """GLS periodogram with the frequency band split across `axis`.
 
     Each of the D chips runs the Press-Rybicki kernel on its own nf/D
@@ -46,7 +46,8 @@ def sharded_gls(t, y, err, df, fmin, nf, mesh, axis="grid",
         idx = jax.lax.axis_index(axis)
         fmin_local = fmin + idx * nf_local * df
         return gls_power(
-            t, y, err, df, fmin_local, nf_local, fit_mean=fit_mean, psd=psd
+            t, y, err, df, fmin_local, nf_local, fit_mean=fit_mean,
+            psd=psd, gridder=gridder,
         )
 
     return _run(jnp.asarray(t), jnp.asarray(y), jnp.asarray(err))
