@@ -284,3 +284,26 @@ def test_gls_pallas_gridder_matches_scatter():
     # identical math up to the split-bf16 MXU accumulation (~1.6e-5 rel)
     assert np.max(np.abs(got - ref)) < 5e-4
     assert np.argmax(got) == np.argmax(ref)
+
+
+def test_gls_refine_respects_fit_mean():
+    """refine() reuses the fit_mean the periodogram was computed with."""
+    rng = np.random.default_rng(9)
+    n = 800
+    t = np.sort(rng.uniform(0, 60.0, n))
+    y = np.sin(2 * np.pi * t / 6.2)
+    err = np.full(n, 0.3)
+    gls = GLS()
+    gls(TSeries(t, y), err=err, fit_mean=False)
+    refined = gls.refine(zoom=16)
+    # the refined zoom of the no-mean model tracks the no-mean direct power
+    from periodicity_tpu.spectral import gls_power
+
+    f = np.asarray(refined.frequency)
+    direct = np.asarray(
+        gls_power(t, y, err, f[1] - f[0], f[0], f.size,
+                  fit_mean=False, method="direct")
+    )
+    np.testing.assert_allclose(
+        np.asarray(refined.values), direct, rtol=1e-6, atol=1e-12
+    )
