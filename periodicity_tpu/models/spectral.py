@@ -65,9 +65,9 @@ def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
     return freq, df, fmin
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "pair_q", "gridder"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "pair_q", "gridder", "taps"))
 def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
-              pair_q=None, gridder="scatter"):
+              pair_q=None, gridder="scatter", taps=4):
     """Generalized Lomb-Scargle power on a uniform frequency grid.
 
     Pure function of (t[N], y[N], err[N]) -> power[nf]. Implements the
@@ -84,6 +84,11 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
     one-hot MXU gridding kernel, ~1.7x faster on TPU; requires
     time-sorted samples and a non-wrapping grid, i.e. df*baseline < 1 —
     true for every default grid. The GLS estimator auto-selects).
+
+    ``taps``: Lagrange extirpolation order (reference uses 4). ``taps=8``
+    cuts the float64 fast-path power error ~30x (1e-4 -> ~3e-6 vs the
+    exact direct method) — the accurate-AND-fast option for large grids
+    where ``method="direct"`` is too expensive.
     """
     t = jnp.asarray(t)
     y = jnp.asarray(y)
@@ -95,14 +100,16 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
     if method == "fast":
         if fit_mean and pair_q is not None:
             Sh, Ch, S, C = trig_sum_pair(t, w * y, w, df, nf, fmin, q=pair_q,
-                                         gridder=gridder)
+                                         gridder=gridder, taps=taps)
         else:
             # separate extirpolation+FFT kernels: measured faster on TPU
             # than a batched [3, nfft] variant (scatter into 2D operands
             # lowers poorly)
-            Sh, Ch = trig_sum(t, w * y, df, nf, fmin, gridder=gridder)
+            Sh, Ch = trig_sum(t, w * y, df, nf, fmin, gridder=gridder,
+                              taps=taps)
             if fit_mean:
-                S, C = trig_sum(t, w, df, nf, fmin, gridder=gridder)
+                S, C = trig_sum(t, w, df, nf, fmin, gridder=gridder,
+                                taps=taps)
         # In float32 the 2f sum runs on a half-size grid (oversample ~4.2
         # instead of ~8.4): its extirpolation error (~1e-2 relative on the
         # smallest powers) is subdominant to f32 rounding (~5e-3, see
@@ -110,7 +117,8 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
         # float64 keeps the full grid for reference-formula parity.
         dtype = jnp.result_type(t.dtype, y.dtype, jnp.float32)
         S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin,
-                          nfft=_nfft_2f(dtype, nf), gridder=gridder)
+                          nfft=_nfft_2f(dtype, nf), gridder=gridder,
+                          taps=taps)
     else:
         freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
 

@@ -49,19 +49,20 @@ _NBINS = _ROWS
 
 
 def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
-            l0_ref, l1_ref, l2_ref, l3_ref, out_re_ref, out_im_ref):
+            *rest, taps, rows):
+    lag_refs = rest[:taps]
+    out_re_ref, out_im_ref = rest[taps], rest[taps + 1]
     b = pl.program_id(0)
-    base = b * (_ROWS * _LANES)
+    base = b * (rows * _LANES)
     s = starts_ref[b]
     e = ends_ref[b]
 
-    acc_re = jnp.zeros((_NBINS, _BINW), jnp.float32)
-    acc_im = jnp.zeros((_NBINS, _BINW), jnp.float32)
+    acc_re = jnp.zeros((rows, _BINW), jnp.float32)
+    acc_im = jnp.zeros((rows, _BINW), jnp.float32)
 
-    iota_bins = jax.lax.broadcasted_iota(jnp.int32, (_NBINS, _ALIGN), 0)
+    iota_bins = jax.lax.broadcasted_iota(jnp.int32, (rows, _ALIGN), 0)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (_ALIGN, _BINW), 1)
     shift = _LANES.bit_length() - 1  # log2(bin width)
-    lag_refs = (l0_ref, l1_ref, l2_ref, l3_ref)
 
     def body(carry):
         chunk, acc_re, acc_im = carry
@@ -70,10 +71,10 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
         ure_w = ure_ref[pl.ds(chunk, _ALIGN)]
         uim_w = uim_ref[pl.ds(chunk, _ALIGN)]
         off = ilo_w - base  # [_ALIGN]
-        for j in range(4):
+        for j in range(taps):
             lag_w = lag_refs[j][pl.ds(chunk, _ALIGN)]
             c = off + j
-            valid = (c >= 0) & (c < _ROWS * _LANES)
+            valid = (c >= 0) & (c < rows * _LANES)
             # invalid samples get bin -1, which matches no one-hot row —
             # the M mask alone suffices (Mosaic cannot minor-dim-insert
             # an i1 vector, so no bool [:, None] anywhere)
@@ -120,13 +121,20 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
 def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False):
     """Spread u * lag[:, j] at sorted bases ilo [N]: the factored form the
     trig-sum pipelines produce (u = complex weights x phase rotation, lag =
-    4-point Lagrange weights). Returns (grid_re, grid_im) [nfft] f32."""
-    block = _ROWS * _LANES
-    assert nfft % block == 0
+    [N, taps] Lagrange weights; taps static from the shape). Returns
+    (grid_re, grid_im) [nfft] f32."""
+    taps = lag.shape[1]
+    # adapt the superblock height to small grids (e.g. the f32 half-size
+    # 2f grid); nfft and _LANES are powers of two, so rows always divides
+    rows = max(1, min(_ROWS, nfft // _LANES))
+    block = rows * _LANES
+    assert nfft % block == 0, (nfft, block)
     n_blocks = nfft // block
     ilo = jnp.asarray(ilo, jnp.int32)
     base_ids = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    starts = jnp.searchsorted(ilo, base_ids - 3, side="left").astype(jnp.int32)
+    starts = jnp.searchsorted(
+        ilo, base_ids - (taps - 1), side="left"
+    ).astype(jnp.int32)
     ends = jnp.searchsorted(ilo, base_ids + block, side="left").astype(jnp.int32)
 
     pad = _ALIGN + (-ilo.shape[0]) % _ALIGN
@@ -136,22 +144,22 @@ def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False):
     uim_p = jnp.concatenate([jnp.asarray(u_im, jnp.float32), zpad])
     lags = [
         jnp.concatenate([jnp.asarray(lag[:, j], jnp.float32), zpad])
-        for j in range(4)
+        for j in range(taps)
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + taps),
         out_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda b, *_: (b, 0),
+            pl.BlockSpec((rows, _LANES), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, _LANES), lambda b, *_: (b, 0),
+            pl.BlockSpec((rows, _LANES), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     out_re, out_im = pl.pallas_call(
-        _kernel,
+        partial(_kernel, taps=taps, rows=rows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nfft // _LANES, _LANES), jnp.float32),

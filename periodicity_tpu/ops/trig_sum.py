@@ -55,25 +55,42 @@ def _two_prod(a, b):
     return p, err
 
 
-def _extirpolate_weights(trel, df, nfft, dtype):
-    """Positions + 4-point Lagrange weights for scattering samples onto the
-    oversampled grid. Returns (inds [N,4], lagrange [N,4])."""
+def _extirpolate_weights(trel, df, nfft, dtype, taps=4):
+    """Positions + ``taps``-point Lagrange weights for scattering samples
+    onto the oversampled grid. Returns (inds [N,taps], lagrange [N,taps]).
+
+    The reference uses 4 taps (spectral.py:23-25); higher orders shrink
+    the extirpolation truncation error as ~(nf/nfft)^taps — at the default
+    oversample ~8.4 going 4 -> 8 taps cuts the float64 fast-path power
+    error ~30x (1e-4 -> 3.4e-6 measured) at 2x the scatter index count.
+    """
+    from math import factorial
+
     scale = jnp.asarray(df, dtype) * nfft
     tnorm, terr = _two_prod(trel, scale)
     tnorm = (tnorm % nfft) + terr
-    ilo = jnp.clip(jnp.floor(tnorm - 2.0).astype(jnp.int32), 0, nfft - 4)
+    half = taps // 2
+    ilo = jnp.clip(
+        jnp.floor(tnorm - (half - 1) - 1.0).astype(jnp.int32), 0, nfft - taps
+    )
     frac = tnorm - ilo
-    offs = jnp.arange(4, dtype=dtype)
+    offs = jnp.arange(taps, dtype=dtype)
     d = frac[:, None] - offs[None, :]
     prod_all = jnp.prod(d, axis=1)
-    denom = jnp.asarray([-6.0, 2.0, -2.0, 6.0], dtype)
+    denom = jnp.asarray(
+        [
+            ((-1.0) ** (taps - 1 - j)) * factorial(j) * factorial(taps - 1 - j)
+            for j in range(taps)
+        ],
+        dtype,
+    )
     safe_d = jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
     lagrange = prod_all[:, None] / (denom[None, :] * safe_d)
     is_int = jnp.abs(d) < 1e-12
     lagrange = jnp.where(
         jnp.any(is_int, axis=1, keepdims=True), is_int.astype(dtype), lagrange
     )
-    inds = (ilo[:, None] + jnp.arange(4)[None, :]) % nfft
+    inds = (ilo[:, None] + jnp.arange(taps)[None, :]) % nfft
     return inds, lagrange
 
 
@@ -134,7 +151,7 @@ def _grid_planes(u, inds, lag, nfft, gridder):
     a non-wrapping grid — true for every df*baseline < 1 grid, e.g. all
     default GLS grids — and measured 6.2 ms vs 10.7 ms for the scatter at
     N=1e5, nfft=2^23 on v5e)."""
-    if gridder == "pallas":
+    if gridder == "pallas" and nfft >= 512:
         from .pallas_grid2 import extirpolate_grid_factored
 
         interpret = jax.default_backend() == "cpu"
@@ -150,9 +167,9 @@ def _grid_planes(u, inds, lag, nfft, gridder):
     return grid_re, grid_im
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft", "q", "gridder"))
+@partial(jax.jit, static_argnames=("nf", "nfft", "q", "gridder", "taps"))
 def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
-                  gridder="scatter"):
+                  gridder="scatter", taps=4):
     """Two trig sums over REAL weights at the same grid from ONE
     extirpolation + FFT.
 
@@ -186,7 +203,7 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
     trel = t - tmin
     rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
     u = (w1.astype(dtype) + 1j * w2.astype(dtype)).astype(cdtype) * rot
-    inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
+    inds, lag = _extirpolate_weights(trel, df, nfft, dtype, taps=taps)
     grid_re, grid_im = _grid_planes(u, inds, lag, nfft, gridder)
     G = nfft * jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))
     # indices nfft - k - q for k in [0, nf) form a contiguous descending
@@ -327,8 +344,8 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
     return nfft * fftgrid.imag, nfft * fftgrid.real
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft", "gridder"))
-def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter"):
+@partial(jax.jit, static_argnames=("nf", "nfft", "gridder", "taps"))
+def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter", taps=4):
     """Fast trig sums; returns (S[nf], C[nf]).
 
     Parameters
@@ -350,34 +367,11 @@ def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter"):
     tmin = jnp.min(t)
     trel = t - tmin
     wc = w.astype(cdtype) * jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
-    # position on the oversampled grid, in [0, nfft)
-    scale = (jnp.asarray(df, dtype) * nfft)
-    tnorm, terr = _two_prod(trel, scale)
-    tnorm = (tnorm % nfft) + terr
-    ilo = jnp.clip(jnp.floor(tnorm - 2.0).astype(jnp.int32), 0, nfft - 4)
-    frac = tnorm - ilo  # in roughly [2, 3)
-    # 4-point Lagrange extirpolation weights at offsets 0..3 around ilo
-    offs = jnp.arange(4, dtype=dtype)
-    d = frac[:, None] - offs[None, :]  # [N, 4]
-    prod_all = jnp.prod(d, axis=1)  # (x-0)(x-1)(x-2)(x-3)
-    # denominator for point j (offset j): prod_{k != j} (j - k) = (-1)^(3-j) j! (3-j)!
-    denom = jnp.asarray([-6.0, 2.0, -2.0, 6.0], dtype)
-    # generic weights; where frac is (nearly) integer this divides by ~0,
-    # so handle exact-integer hits separately like the reference
-    # (spectral.py:23-25)
-    safe_d = jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
-    lagrange = prod_all[:, None] / (denom[None, :] * safe_d)  # [N, 4]
-    is_int = jnp.abs(d) < 1e-12  # [N, 4] one-hot when on-grid
-    lagrange = jnp.where(
-        jnp.any(is_int, axis=1, keepdims=True),
-        is_int.astype(dtype),
-        lagrange,
-    )
-    inds = (ilo[:, None] + jnp.arange(4)[None, :]) % nfft
-    # scatter the real/imag planes separately and form the complex grid just
-    # before the FFT: a complex64 scatter feeding an FFT forces a hostile
-    # layout on TPU and runs ~11x slower (45.8 -> 4.2 ms per trig sum at
-    # N=1e5, nfft=8.4M; measured, see docs/performance.md)
+    inds, lagrange = _extirpolate_weights(trel, df, nfft, dtype, taps=taps)
+    # the real/imag planes are gridded separately and the complex grid
+    # formed just before the FFT: a complex64 scatter feeding an FFT
+    # forces a hostile TPU layout and runs ~11x slower (measured, see
+    # docs/performance.md)
     grid_re, grid_im = _grid_planes(wc, inds, lagrange, nfft, gridder)
     fftgrid = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))[:nf]
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
