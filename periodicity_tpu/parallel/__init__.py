@@ -19,6 +19,7 @@ single-process by default.
 """
 
 from .dfft import distributed_acf, distributed_fft, distributed_ifft
+from .distributed import initialize_distributed, multihost_mesh
 from .mesh import default_mesh, grid_sharding
 from .sharded import (
     sharded_acf,
@@ -37,4 +38,6 @@ __all__ = [
     "distributed_fft",
     "distributed_ifft",
     "distributed_acf",
+    "initialize_distributed",
+    "multihost_mesh",
 ]

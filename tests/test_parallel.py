@@ -179,3 +179,23 @@ def test_sharded_solver_in_modeler(mesh):
     assert float(m_scan.nll(u)) == pytest.approx(
         float(m_shard.nll(u)), rel=1e-10
     )
+
+
+def test_multihost_helpers_single_process(mesh):
+    """initialize_distributed is a no-op without a coordinator; the
+    multihost mesh degrades to [1 host, local devices] and still drives a
+    sharded kernel."""
+    from periodicity_tpu.parallel import (
+        initialize_distributed,
+        multihost_mesh,
+        sharded_gls,
+    )
+
+    assert initialize_distributed() is False  # zero-config single process
+    m = multihost_mesh(ici_axes=("grid",), dcn_axes=("batch",))
+    assert m.shape["batch"] * m.shape["grid"] == jax.device_count()
+    t, y, err = _data()
+    nf = 128 * m.shape["grid"]
+    power = np.asarray(sharded_gls(t, y, err, 0.001, 0.0005, nf, m))
+    assert power.shape == (nf,)
+    assert np.all(np.isfinite(power))
