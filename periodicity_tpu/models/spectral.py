@@ -218,7 +218,11 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
         return jax.lax.map(one, (ys, errs))
 
     b = ys.shape[0]
-    chunk = min(batch_size or 8, b)
+    # clamp the chunk so the row-scatter grids ([nfft+4, 8*chunk] f32)
+    # plan within HBM: at nf=1e6 an 8-row chunk plans ~20 GB and OOMs the
+    # 16 GB v5e (measured); 4 rows fit and run 6.9e7 aggregate freqs/sec
+    hbm_cap_rows = max(1, int(1.2e9 // (grid_size(nf, 5) * 32)))
+    chunk = min(batch_size or 8, b, hbm_cap_rows)
     pad = (-b) % chunk
     if pad:
         ys = jnp.concatenate([ys, jnp.ones((pad, ys.shape[1]), ys.dtype)])
