@@ -212,7 +212,7 @@ def _symlet(n_moments):
 
 
 def _coiflet(k_order):
-    """Coiflet (coifK) scaling filter, length 6K, K = 1..5.
+    """Coiflet (coifK) scaling filter, length 6K, K = 1..8.
 
     Construction (Daubechies 1992, ch. 8, done as exact linear algebra
     plus a tiny nonlinear solve): BOTH moment families are linear in h —
@@ -384,9 +384,10 @@ _BANK_CACHE = {}
 
 def scaling_filter(family):
     """Orthonormal scaling (low-pass) filter for ``dbN`` (N=1..20),
-    ``symN`` (N=2..20) and ``coifN`` (N=1..5), increasing-index
-    convention, sum = sqrt(2). Biorthogonal families have two lowpass
-    filters — use :func:`filter_bank` for those."""
+    ``symN`` (N=2..20) and ``coifN`` (N=1..8; the multistart solve stops
+    converging around K=10), increasing-index convention, sum = sqrt(2).
+    Biorthogonal families have two lowpass filters — use
+    :func:`filter_bank` for those."""
     if family not in _FILTER_CACHE:
         kind = family.rstrip("0123456789")
         num = family[len(kind):]
@@ -397,7 +398,7 @@ def scaling_filter(family):
             _FILTER_CACHE[family] = _daubechies(n_moments)
         elif kind == "sym" and 2 <= n_moments <= 20:
             _FILTER_CACHE[family] = _symlet(n_moments)
-        elif kind == "coif" and 1 <= n_moments <= 5:
+        elif kind == "coif" and 1 <= n_moments <= 8:
             _FILTER_CACHE[family] = _coiflet(n_moments)
         else:
             raise ValueError(f"Unknown wavelet family {family}")
