@@ -50,7 +50,9 @@ def _pair_q(df, fmin):
     trig-sum pairing; the default grid's fmin = df/2 gives q = 1)."""
     ratio = 2.0 * float(fmin) / float(df)
     q = int(round(ratio))
-    return q if abs(ratio - q) < 1e-9 and q >= 0 else None
+    # q = 0 (fmin = 0) would make trig_sum_pair's static conjugate slice
+    # one element short; the unpaired path handles that case
+    return q if abs(ratio - q) < 1e-9 and q >= 1 else None
 
 
 def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
@@ -82,7 +84,8 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
 
     ``gridder``: "scatter" (XLA scatter-add; any grid) or "pallas" (the
     one-hot MXU gridding kernel, ~1.7x faster on TPU; requires
-    time-sorted samples and a non-wrapping grid, i.e. df*baseline < 1 —
+    time-sorted samples and non-wrapping positions on EVERY pipeline —
+    the 2f sum runs at 2*df, so the condition is 2*df*baseline < 1,
     true for every default grid. The GLS estimator auto-selects).
 
     ``taps``: Lagrange extirpolation order (reference uses 4). ``taps=8``
@@ -196,7 +199,7 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
 
 @partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q"))
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
-                    method="fast", batch_size=8, pair_q=None):
+                    method="fast", batch_size=None, pair_q=None):
     """Batched GLS over many light curves sharing one time grid.
 
     ys, errs: [B, N]. Returns power [B, nf]. The fast path processes the
@@ -218,11 +221,14 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
         return jax.lax.map(one, (ys, errs))
 
     b = ys.shape[0]
-    # clamp the chunk so the row-scatter grids ([nfft+4, 8*chunk] f32)
-    # plan within HBM: at nf=1e6 an 8-row chunk plans ~20 GB and OOMs the
-    # 16 GB v5e (measured); 4 rows fit and run 6.9e7 aggregate freqs/sec
-    hbm_cap_rows = max(1, int(1.2e9 // (grid_size(nf, 5) * 32)))
-    chunk = min(batch_size or 8, b, hbm_cap_rows)
+    if batch_size is None:
+        # default chunk: 8 rows, clamped so the row-scatter grids
+        # ([nfft+4, 8*chunk] f32) plan within a 16 GB HBM budget — at
+        # nf=1e6 an 8-row chunk plans ~20 GB and OOMs a v5e (measured);
+        # 4 rows fit and run 6.9e7 aggregate freqs/sec. An explicitly
+        # passed batch_size is honored unclamped (bigger-HBM devices).
+        batch_size = min(8, max(1, int(1.2e9 // (grid_size(nf, 5) * 32))))
+    chunk = min(batch_size, b)
     pad = (-b) % chunk
     if pad:
         ys = jnp.concatenate([ys, jnp.ones((pad, ys.shape[1]), ys.dtype)])
@@ -283,17 +289,15 @@ class GLS:
         self.err = jnp.asarray(err)
         gridder = self.gridder
         if gridder == "auto":
-            # the Pallas one-hot MXU gridder needs sorted samples (TSeries
-            # guarantees this) and a non-wrapping grid; prefer it on real
-            # accelerators, keep the scatter on CPU (interpret mode is slow)
-            import jax as _jax
-
-            no_wrap = df * float(signal.baseline) < 1.0
-            gridder = (
-                "pallas"
-                if no_wrap and _jax.default_backend() != "cpu"
-                else "scatter"
-            )
+            # The Pallas one-hot MXU gridder needs sorted samples (TSeries
+            # guarantees this) and NON-WRAPPING positions on every
+            # pipeline — the 2f sum runs at 2*df, so the binding condition
+            # is 2*df*baseline < 1 (every default grid: df*baseline=1/n).
+            # TPU-family backends only (the kernel is Mosaic; interpret
+            # mode on CPU is slow, GPU cannot lower it).
+            no_wrap = 2.0 * df * float(signal.baseline) < 1.0
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            gridder = "pallas" if (no_wrap and on_tpu) else "scatter"
         log_event(
             "gls", n=signal.size, nf=nf, nfft=grid_size(nf, self.n),
             fit_mean=fit_mean, psd=self.psd, method=self.method,
@@ -360,8 +364,9 @@ class GLS:
         df = freq[1] - freq[0]
         interior = (power[1:-1] > power[:-2]) & (power[1:-1] >= power[2:])
         peak_idx = np.flatnonzero(interior) + 1
-        if peak_idx.size == 0:
-            peak_idx = np.asarray([int(np.argmax(power))])
+        # the global maximum is always a candidate (it may sit on the grid
+        # boundary, where the interior-maximum test cannot see it)
+        peak_idx = np.union1d(peak_idx, [int(np.argmax(power))])
         top = peak_idx[np.argsort(power[peak_idx])[::-1][:n_peaks]]
 
         n_local = int(2 * width * zoom) + 1

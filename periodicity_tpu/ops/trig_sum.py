@@ -151,7 +151,11 @@ def _grid_planes(u, inds, lag, nfft, gridder):
     a non-wrapping grid — true for every df*baseline < 1 grid, e.g. all
     default GLS grids — and measured 6.2 ms vs 10.7 ms for the scatter at
     N=1e5, nfft=2^23 on v5e)."""
-    if gridder == "pallas" and nfft >= 512:
+    # the Pallas kernel computes in float32 (split-bf16 MXU accumulation);
+    # float64 pipelines keep the exact scatter so gridder="pallas" can
+    # never silently demote an x64 computation
+    if (gridder == "pallas" and nfft >= 512
+            and u.real.dtype == jnp.float32):
         from .pallas_grid2 import extirpolate_grid_factored
 
         interpret = jax.default_backend() == "cpu"
@@ -350,7 +354,10 @@ def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter", taps=4):
 
     Parameters
     ----------
-    t: [N] sample times (any order).
+    t: [N] sample times (any order for the scatter gridder; the
+       ``gridder="pallas"`` path requires TIME-SORTED samples on a
+       non-wrapping grid — df * baseline < 1 — or results are silently
+       wrong; the GLS estimator guards both).
     w: [N] weights (real).
     df, fmin: uniform grid spec (scalars).
     nf: static number of frequencies.

@@ -97,4 +97,16 @@ def multihost_mesh(ici_axes=("grid",), dcn_axes=("batch",), ici_shape=None,
         raise ValueError(
             f"mesh shape {shape} does not cover {devices.size} devices"
         )
+    if n_hosts > 1:
+        # topology-aware placement: jax.devices() ordering is not
+        # guaranteed process-contiguous, and the ICI axes MUST NOT span
+        # hosts — delegate to the hybrid mesh builder, which groups by
+        # process and slice topology
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            tuple(ici_shape), tuple(dcn_shape), devices=list(devices)
+        )
+        # hybrid layout is [dcn..., ici...] — matches our axis order
+        return Mesh(dev_array, tuple(dcn_axes) + tuple(ici_axes))
     return Mesh(devices.reshape(shape), tuple(dcn_axes) + tuple(ici_axes))
