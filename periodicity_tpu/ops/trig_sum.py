@@ -94,57 +94,6 @@ def _extirpolate_weights(trel, df, nfft, dtype, taps=4):
     return inds, lagrange
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft", "fit_mean"))
-def gls_trig_sums(t, w, wy, df, fmin, nf, nfft=None, fit_mean=True):
-    """All trig sums a GLS evaluation needs, with one batched IFFT.
-
-    Computes (Sh, Ch) of wy at (df, fmin), (S2, C2) of w at (2df, 2fmin)
-    and — when fit_mean — (S, C) of w at (df, fmin). The three
-    extirpolation grids share one nfft (reference spectral.py:18 uses the
-    same size for all three calls), so their inverse FFTs run as a single
-    batched transform, and the (wy, w)@(df, fmin) pair shares scatter
-    indices. This is ~3x fewer FFT launches than translating the
-    reference's three sequential _trig_sum calls.
-    """
-    if nfft is None:
-        nfft = grid_size(nf, 5)
-    t = jnp.asarray(t)
-    dtype = jnp.result_type(t.dtype, jnp.float32)
-    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-    t = t.astype(dtype)
-    w = jnp.asarray(w).astype(dtype)
-    wy = jnp.asarray(wy).astype(dtype)
-    tmin = jnp.min(t)
-    trel = t - tmin
-    rot1 = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
-    rot2 = rot1 * rot1
-    inds1, lag1 = _extirpolate_weights(trel, df, nfft, dtype)
-    inds2, lag2 = _extirpolate_weights(trel, 2 * df, nfft, dtype)
-    rows = 3 if fit_mean else 2
-    grid = jnp.zeros((rows, nfft), cdtype)
-    v_wy = (wy.astype(cdtype) * rot1)[:, None] * lag1.astype(cdtype)
-    v_w2 = (w.astype(cdtype) * rot2)[:, None] * lag2.astype(cdtype)
-    grid = grid.at[0, inds1.reshape(-1)].add(v_wy.reshape(-1))
-    grid = grid.at[1, inds2.reshape(-1)].add(v_w2.reshape(-1))
-    if fit_mean:
-        v_w1 = (w.astype(cdtype) * rot1)[:, None] * lag1.astype(cdtype)
-        grid = grid.at[2, inds1.reshape(-1)].add(v_w1.reshape(-1))
-    fftgrid = jnp.fft.ifft(grid, axis=1)[:, :nf]
-    freqs = df * jnp.arange(nf, dtype=dtype)
-    post1 = jnp.exp(2j * jnp.pi * (tmin * (fmin + freqs)).astype(cdtype))
-    post2 = jnp.exp(2j * jnp.pi * (tmin * (2 * fmin + 2 * freqs)).astype(cdtype))
-    g1 = fftgrid[0] * post1
-    g2 = fftgrid[1] * post2
-    out = [
-        (nfft * g1.imag, nfft * g1.real),
-        (nfft * g2.imag, nfft * g2.real),
-    ]
-    if fit_mean:
-        g3 = fftgrid[2] * post1
-        out.append((nfft * g3.imag, nfft * g3.real))
-    return out
-
-
 def _grid_planes(u, inds, lag, nfft, gridder):
     """Complex extirpolation grid build: scatter (default) or the Pallas
     one-hot MXU kernel (ops.pallas_grid2; requires time-sorted samples on
