@@ -35,7 +35,9 @@ __all__ = [
     "ConditionalEntropy",
     "GregoryLoredo",
     "string_length_scan",
+    "string_length_batch",
     "pdm_scan",
+    "pdm_batch",
     "aov_scan",
     "conditional_entropy_scan",
     "gregory_loredo_scan",
@@ -381,3 +383,31 @@ class AoV:
         )
         self.periodogram = FSeries(1.0 / self.periods, f)
         return self.periodogram
+
+
+@partial(jax.jit, static_argnames=("nb", "nc", "batch_size"))
+def pdm_batch(t, xs, periods, nb=5, nc=2, batch_size=128):
+    """PDM theta for B light curves sharing one time grid, in one jitted
+    program: xs [B, N] -> theta [B, P] (the SURVEY §2.2 batch axis the
+    strictly single-series reference lacks; follows the
+    gls_power_batch/wps_batch/hht_batch pattern). Shard the leading axis
+    over a mesh for multi-chip batches."""
+    t = jnp.asarray(t)
+    xs = jnp.asarray(xs)
+    periods = jnp.asarray(periods)
+    return jax.vmap(
+        lambda x: pdm_scan(t, x, periods, nb=nb, nc=nc,
+                           batch_size=batch_size)
+    )(xs)
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def string_length_batch(t, ms, periods, batch_size=128):
+    """String lengths for B scaled light curves sharing one time grid:
+    ms [B, N] -> lengths [B, P] (batch analog of string_length_scan)."""
+    t = jnp.asarray(t)
+    ms = jnp.asarray(ms)
+    periods = jnp.asarray(periods)
+    return jax.vmap(
+        lambda m: string_length_scan(t, m, periods, batch_size=batch_size)
+    )(ms)

@@ -9,7 +9,9 @@ from .models.phase import (
     aov_scan,
     conditional_entropy_scan,
     gregory_loredo_scan,
+    pdm_batch,
     pdm_scan,
+    string_length_batch,
     string_length_scan,
 )
 
@@ -22,6 +24,8 @@ __all__ = [
     "gregory_loredo_scan",
     "string_length_scan",
     "pdm_scan",
+    "pdm_batch",
+    "string_length_batch",
     "aov_scan",
     "conditional_entropy_scan",
 ]

@@ -120,3 +120,35 @@ def test_gregory_loredo_finds_period_in_event_times():
     lo = gl(events)
     best = float(np.asarray(lo.period)[np.argmax(np.asarray(lo.values))])
     assert best == pytest.approx(5.0, abs=0.02)
+
+
+def test_pdm_and_string_length_batch_match_scan():
+    """Batched phase scorers == per-series scans (SURVEY §2.2 batch axis)."""
+    from periodicity_tpu.phase import (
+        pdm_batch,
+        pdm_scan,
+        string_length_batch,
+        string_length_scan,
+    )
+
+    rng = np.random.default_rng(0)
+    n, b = 400, 3
+    t = np.sort(rng.uniform(0, 60, n))
+    ys = np.stack([np.sin(2 * np.pi * t / p) + 0.1 * rng.standard_normal(n)
+                   for p in (4.0, 6.5, 9.0)])
+    periods = np.linspace(2.0, 12.0, 200)
+    thetas = np.asarray(pdm_batch(t, ys, periods))
+    assert thetas.shape == (b, 200)
+    for i in range(b):
+        np.testing.assert_allclose(
+            thetas[i], np.asarray(pdm_scan(t, ys[i], periods)), rtol=1e-10
+        )
+    ms = (ys - ys.max(axis=1, keepdims=True)) / (
+        2 * (ys.max(axis=1, keepdims=True) - ys.min(axis=1, keepdims=True))
+    ) + 0.25
+    ells = np.asarray(string_length_batch(t, ms, periods))
+    for i in range(b):
+        np.testing.assert_allclose(
+            ells[i], np.asarray(string_length_scan(t, ms[i], periods)),
+            rtol=1e-10,
+        )
