@@ -45,14 +45,24 @@ def _nfft_2f(dtype, nf):
     return full // 2 if dtype == jnp.float32 else full
 
 
-def _pair_q(df, fmin):
+def _pair_q(df, fmin, nf=None):
     """Static 2*fmin/df when integral (enables the conjugate-symmetry
-    trig-sum pairing; the default grid's fmin = df/2 gives q = 1)."""
+    trig-sum pairing; the default grid's fmin = df/2 gives q = 1).
+
+    Bounds: q = 0 (fmin = 0) would make the static conjugate slice one
+    element short, and LARGE q silently degrades accuracy — the backward
+    branch reads harmonic k + q, whose extirpolation error grows like
+    ((nf + q)/nfft)^taps (measured: q ~ 3000 at nf ~ 1000 corrupts powers
+    by 0.7 absolute). Only enable the pairing when q is a small fraction
+    of the band; the unpaired 3-pipeline path handles everything else.
+    """
     ratio = 2.0 * float(fmin) / float(df)
     q = int(round(ratio))
-    # q = 0 (fmin = 0) would make trig_sum_pair's static conjugate slice
-    # one element short; the unpaired path handles that case
-    return q if abs(ratio - q) < 1e-9 and q >= 1 else None
+    if abs(ratio - q) >= 1e-9 or q < 1:
+        return None
+    if nf is not None and q > max(1, nf // 5):
+        return None
+    return q
 
 
 def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
@@ -307,7 +317,7 @@ class GLS:
             signal.time, signal.values, self.err,
             df, fmin, nf,
             fit_mean=fit_mean, psd=self.psd, method=self.method,
-            pair_q=_pair_q(df, fmin), gridder=gridder,
+            pair_q=_pair_q(df, fmin, nf), gridder=gridder,
         )
         self.fit_mean = fit_mean
         self.signal = signal
@@ -329,7 +339,7 @@ class GLS:
             key, self.signal.time, self.signal.values, self.err,
             df, freq[0], freq.size, int(n_bootstraps),
             fit_mean=fit_mean, psd=self.psd, method=self.method,
-            pair_q=_pair_q(df, freq[0]),
+            pair_q=_pair_q(df, freq[0], freq.size),
         )
         self.bs_replicates = np.asarray(reps)
         return self.bs_replicates

@@ -137,13 +137,15 @@ class HHT:
         modes = self.emd(signal)
         live = [m for m in modes if bool(jnp.any(m.values != 0))]
 
-        if self.method in ("TEO", "HT"):
-            # Computed from the raw signal, so identical for every mode
-            # (reference timefrequency.py:123-134 behavior).
+        if self.method in ("TEO", "HT") and live:
+            # Computed from the raw signal, so identical for every live
+            # mode (reference timefrequency.py:123-134 behavior; with no
+            # live modes the reference produces empty output, not a
+            # raw-signal row).
             freq, amp = _ops_hht.instant_frequency(
                 t, jnp.asarray(signal.values), method=self.method
             )
-            n_live = max(len(live), 1)
+            n_live = len(live)
             freq_stack = jnp.broadcast_to(freq, (n_live,) + freq.shape)
             amp_stack = jnp.broadcast_to(amp, (n_live,) + amp.shape)
         elif live:
@@ -159,7 +161,7 @@ class HHT:
         instant_as = [
             TSeries(t, a, assume_sorted=True) for a in amp_stack
         ]
-        if self.smooth_width is not None:
+        if self.smooth_width is not None and instant_fs:
             instant_fs = [f.smooth(self.smooth_width) for f in instant_fs]
             instant_as = [a.smooth(self.smooth_width) for a in instant_as]
             freq_stack = jnp.stack([f.values for f in instant_fs])

@@ -146,6 +146,11 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
     """
     if nfft is None:
         nfft = grid_size(nf, n)
+    if not 1 <= q <= nfft - nf:
+        raise ValueError(
+            f"pairing needs 1 <= q <= nfft - nf (q={q}, nf={nf}, "
+            f"nfft={nfft}); use the unpaired kernels"
+        )
     t = jnp.asarray(t)
     w1 = jnp.asarray(w1)
     w2 = jnp.asarray(w2)
@@ -172,30 +177,19 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
     return G1.imag, G1.real, G2.imag, G2.real
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft", "q"))
-def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
-                        q=1):
-    """Batched conjugate-symmetry pairing: the (w1, w2) sums for B curves
-    at the same half-bin grid (fmin = q*df/2) from ONE row-scatter + ONE
-    batched FFT. Combines the trig_sum_batch row packing with the
-    trig_sum_pair separation. Returns (S1, C1, S2, C2), each [B, nf]."""
-    if nfft is None:
-        nfft = grid_size(nf, n)
-    t = jnp.asarray(t)
-    w1_rows = jnp.asarray(w1_rows)
-    w2_rows = jnp.asarray(w2_rows)
-    b = w1_rows.shape[0]
-    dtype = jnp.result_type(t.dtype, w1_rows.dtype, jnp.float32)
-    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-    t = t.astype(dtype)
-    tmin = jnp.min(t)
-    trel = t - tmin
-    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
-    u = (w1_rows.astype(dtype) + 1j * w2_rows.astype(dtype)) * rot[None, :]
+def _batch_row_grid(u_rows, trel, df, nfft, dtype):
+    """Shared batched grid build: ONE row-scatter of N indices with
+    (tap x re/im x batch)-packed rows + shifted-slice tap recombination.
+
+    PRECONDITION (the ``indices_are_sorted`` hint): time-sorted samples on
+    a non-wrapping grid (df * baseline < 1) — guaranteed by the GLS
+    estimator surface; see trig_sum_batch's docstring for direct callers.
+    Returns (gre [B, nfft], gim [B, nfft])."""
+    b = u_rows.shape[0]
     inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
     ilo = inds[:, 0].astype(jnp.int32)
-    ur = u.real
-    ui = u.imag
+    ur = u_rows.real
+    ui = u_rows.imag
     rows = jnp.concatenate(
         [
             jnp.concatenate(
@@ -214,9 +208,31 @@ def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
         total = total + jnp.concatenate(
             [jnp.zeros((j, 2 * b), dtype), block[: nfft - j]], axis=0
         )
-    G = nfft * jnp.fft.ifft(
-        jax.lax.complex(total[:, :b].T, total[:, b:].T), axis=-1
-    )  # [B, nfft]
+    return total[:, :b].T, total[:, b:].T
+
+
+@partial(jax.jit, static_argnames=("nf", "nfft", "q"))
+def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
+                        q=1):
+    """Batched conjugate-symmetry pairing: the (w1, w2) sums for B curves
+    at the same half-bin grid (fmin = q*df/2) from ONE row-scatter + ONE
+    batched FFT. Combines the trig_sum_batch row packing with the
+    trig_sum_pair separation. Returns (S1, C1, S2, C2), each [B, nf]."""
+    if nfft is None:
+        nfft = grid_size(nf, n)
+    t = jnp.asarray(t)
+    w1_rows = jnp.asarray(w1_rows)
+    w2_rows = jnp.asarray(w2_rows)
+    dtype = jnp.result_type(t.dtype, w1_rows.dtype, w2_rows.dtype,
+                            jnp.float32)
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    t = t.astype(dtype)
+    tmin = jnp.min(t)
+    trel = t - tmin
+    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    u = (w1_rows.astype(dtype) + 1j * w2_rows.astype(dtype)) * rot[None, :]
+    gre, gim = _batch_row_grid(u, trel, df, nfft, dtype)
+    G = nfft * jnp.fft.ifft(jax.lax.complex(gre, gim), axis=-1)  # [B, nfft]
     back = jnp.flip(
         jnp.conj(G[:, nfft - q - nf + 1 : nfft - q + 1]), axis=-1
     )
@@ -247,7 +263,13 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
 
     Parameters
     ----------
-    t: [N] shared sample times. w_rows: [B, N] weight rows (real).
+    t: [N] shared sample times — must be TIME-SORTED and the grid
+       non-wrapping (df * baseline < 1, true for every default GLS grid):
+       the row scatter passes ``indices_are_sorted``, whose violation is
+       implementation-defined on TPU. The GLS estimator surface
+       guarantees both (TSeries sorts; default grids have
+       df * baseline = 1/n).
+    w_rows: [B, N] weight rows (real).
     df, fmin: uniform grid spec; nf static; nfft static power of two.
 
     Returns (S [B, nf], C [B, nf]).
@@ -256,7 +278,6 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
         nfft = grid_size(nf, n)
     t = jnp.asarray(t)
     w_rows = jnp.asarray(w_rows)
-    b = w_rows.shape[0]
     dtype = jnp.result_type(t.dtype, w_rows.dtype, jnp.float32)
     cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     t = t.astype(dtype)
@@ -264,31 +285,8 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
     tmin = jnp.min(t)
     trel = t - tmin
     rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
-    inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
-    ilo = inds[:, 0].astype(jnp.int32)
-    yr = w_rows * rot.real[None, :]  # [B, N]
-    yi = w_rows * rot.imag[None, :]
-    rows = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [lag[:, j:j + 1] * yr.T, lag[:, j:j + 1] * yi.T], axis=1
-            )
-            for j in range(4)
-        ],
-        axis=1,
-    )  # [N, 4 * 2B]
-    grid = jnp.zeros((nfft + 4, 8 * b), dtype).at[ilo].add(
-        rows, indices_are_sorted=True, unique_indices=False
-    )
-    # tap j belongs at cell ilo + j: shift block j down by j (static slices)
-    total = grid[0:nfft, 0:2 * b]
-    for j in range(1, 4):
-        block = grid[:, 2 * b * j: 2 * b * (j + 1)]
-        total = total + jnp.concatenate(
-            [jnp.zeros((j, 2 * b), dtype), block[: nfft - j]], axis=0
-        )
-    gre = total[:, :b].T
-    gim = total[:, b:].T
+    u = w_rows.astype(cdtype) * rot[None, :]
+    gre, gim = _batch_row_grid(u, trel, df, nfft, dtype)
     fftgrid = jnp.fft.ifft(jax.lax.complex(gre, gim), axis=-1)[:, :nf]
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
     fftgrid = fftgrid * jnp.exp(

@@ -169,3 +169,17 @@ def test_emd_batch_matches_sequential():
             np.testing.assert_allclose(
                 np.asarray(modes[b, k]), np.asarray(m.values), atol=1e-10
             )
+
+
+def test_hht_all_zero_signal_returns_empty():
+    """No live modes -> empty per-mode outputs and tf None, matching the
+    reference's sum-over-no-modes behavior, for every method and with
+    smoothing enabled."""
+    t = np.linspace(0, 10, 256)
+    zero = TSeries(t, np.zeros_like(t))
+    for method in ("DQ", "TEO", "HT"):
+        h = HHT(np.linspace(0.1, 5, 16), method=method, smooth_width=5)
+        tf = h(zero)
+        assert tf is None
+        assert h.tfs == []
+        assert h.instant_fs == []
