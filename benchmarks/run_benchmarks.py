@@ -236,11 +236,11 @@ def config6_gls_batch():
     def loop(ys):
         def body(_, carry):
             ys, acc = carry
-            # batch_size=4: the B=8 pair grids ([nfft+4, 64] f32) plan
-            # ~20 GB with the paired kernel and OOM the 16 GB HBM; two
-            # 4-row chunks fit and run 6.9e7 aggregate freqs/sec
+            # mapped Pallas pipeline: 1.11e8 aggregate freqs/sec vs
+            # 6.9e7 for the 4-row-chunked row-scatter (and the 8-row
+            # chunk plans ~20 GB and OOMs the 16 GB HBM)
             p = gls_power_batch(tj, ys, ej, df, fmin, nf, pair_q=1,
-                                batch_size=4)
+                                gridder="pallas")
             return (ys + p[:, :n] * 1e-9, acc + jnp.sum(p[:, 0]))
 
         return jax.lax.fori_loop(0, k, body, (ys, jnp.float32(0)))[1]

@@ -207,26 +207,38 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
     )
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q", "gridder"))
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
-                    method="fast", batch_size=None, pair_q=None):
+                    method="fast", batch_size=None, pair_q=None,
+                    gridder="scatter"):
     """Batched GLS over many light curves sharing one time grid.
 
-    ys, errs: [B, N]. Returns power [B, nf]. The fast path processes the
-    batch in chunks of ``batch_size`` rows through ``trig_sum_batch``
-    (taps x re/im x chunk packed into one row-scatter; see
-    ops/trig_sum.py) — measured ~4.8x the aggregate throughput of mapping
-    the single-series kernel at B=8 on TPU v5e. Shard the leading axis
-    over a mesh for multi-chip batches (SURVEY §2.2).
+    ys, errs: [B, N]. Returns power [B, nf]. Two fast-path layouts:
+
+    - ``gridder="scatter"`` (default): chunks of ``batch_size`` rows
+      through ``trig_sum_batch`` (taps x re/im x chunk packed into one
+      row-scatter) — 4.8x the aggregate throughput of mapping the
+      single-series SCATTER kernel, and the only batched path for
+      unsorted/wrapping/x64 inputs.
+    - ``gridder="pallas"``: sequential ``lax.map`` of the single-series
+      Pallas MXU pipeline — measured 1.111e8 aggregate freqs/sec at
+      B=8 x nf=1e6 vs 6.9e7 for the row-scatter (v5e), because the MXU
+      gridder is so much faster per curve that batch amortization no
+      longer pays. Same preconditions as gls_power's pallas path
+      (time-sorted, 2*df*baseline < 1, float32).
+
+    Shard the leading axis over a mesh for multi-chip batches
+    (SURVEY §2.2).
     """
     t = jnp.asarray(t)
     ys = jnp.asarray(ys)
     errs = jnp.asarray(errs)
-    if method != "fast":
+    if method != "fast" or gridder == "pallas":
         def one(args):
             y, e = args
             return gls_power(t, y, e, df, fmin, nf,
-                             fit_mean=fit_mean, psd=psd, method=method)
+                             fit_mean=fit_mean, psd=psd, method=method,
+                             pair_q=pair_q, gridder=gridder)
 
         return jax.lax.map(one, (ys, errs))
 
@@ -258,9 +270,10 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
     return out.reshape(groups * chunk, nf)[:b]
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q", "gridder"))
 def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
-                      fit_mean=True, psd=False, method="fast", pair_q=None):
+                      fit_mean=True, psd=False, method="fast", pair_q=None,
+                      gridder="scatter"):
     """Max power per resampled replicate. All replicates share the time
     grid (reference spectral.py:144-148 resamples only values/errors), so
     they run through the batched row-scatter kernel."""
@@ -269,6 +282,7 @@ def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
     powers = gls_power_batch(
         t, y[idx], err[idx], df, fmin, nf,
         fit_mean=fit_mean, psd=psd, method=method, pair_q=pair_q,
+        gridder=gridder,
     )
     return jnp.nanmax(powers, axis=1)
 
@@ -319,6 +333,7 @@ class GLS:
             fit_mean=fit_mean, psd=self.psd, method=self.method,
             pair_q=_pair_q(df, fmin, nf), gridder=gridder,
         )
+        self._gridder_resolved = gridder
         self.fit_mean = fit_mean
         self.signal = signal
         self.periodogram = FSeries(freq, power, assume_sorted=True)
@@ -340,6 +355,7 @@ class GLS:
             df, freq[0], freq.size, int(n_bootstraps),
             fit_mean=fit_mean, psd=self.psd, method=self.method,
             pair_q=_pair_q(df, freq[0], freq.size),
+            gridder=getattr(self, "_gridder_resolved", "scatter"),
         )
         self.bs_replicates = np.asarray(reps)
         return self.bs_replicates
