@@ -114,6 +114,10 @@ class Signal:
         return other
 
     def _binop(self, other, op, reflexive=False):
+        if not isinstance(other, self._HANDLED_TYPES + (Signal, list)):
+            # let Python fall back (e.g. `ts == "foo"` -> identity False,
+            # the reference's NDArrayOperatorsMixin behavior)
+            return NotImplemented
         ov = self._extract(other)
         a, b = (ov, self._values) if reflexive else (self._values, ov)
         return self._replace_data(op(a, b))
@@ -246,6 +250,15 @@ class Signal:
         return self._reduce(jnp.nanvar, dim, **kw)
 
     def _reduce(self, fn, dim=None, **kw):
+        if dim is None and "axis" in kw and kw["axis"] is not None:
+            # numpy-protocol callers (np.mean(tfs, axis=0)) reduce by axis
+            # number; translate to the named dim so the result is wrapped
+            # with its surviving coordinate (reference core.py:23-35)
+            axis_kw = kw.pop("axis")
+            if isinstance(axis_kw, (int, np.integer)):
+                dim = self.dims[int(axis_kw) % self.ndim]
+            else:
+                kw["axis"] = axis_kw  # tuple axes: full reduce below
         if dim is None:
             return _scalar(fn(self._values, **kw))
         axis = self.dims.index(dim)
@@ -275,13 +288,23 @@ class Signal:
         return jnp.sum(~jnp.isnan(self._values), axis=axis)
 
     # -- peak finding (reference core.py:283-367) ----------------------------
-    def find_peaks(self, include_edges=False, prominence=0.0, height=None):
+    def find_peaks(self, include_edges=False, prominence=0.0, height=None,
+                   **peak_kwargs):
         """Local maxima with prominences; eager (dynamic count extraction).
 
         Returns a container of the peak samples; ``attrs`` carries
-        ``prominences``, ``left_bases``, ``right_bases`` and ``indices``
-        exactly like the reference.
+        ``prominences``, ``left_bases``, ``right_bases``, ``indices`` (and
+        ``peak_heights`` when ``height`` is given) like the reference.
+        The reference forwards arbitrary kwargs to scipy.signal.find_peaks
+        (core.py:283-317); the first-party kernel implements the height /
+        prominence subset and raises clearly for the rest.
         """
+        if peak_kwargs:
+            raise NotImplementedError(
+                f"find_peaks supports height= and prominence=; got "
+                f"{sorted(peak_kwargs)} (scipy's distance/threshold/width "
+                f"criteria are not implemented in the on-device kernel)"
+            )
         if self.ndim != 1:
             raise NotImplementedError("'find_peaks' is only implemented for 1D arrays.")
         idx, cnt, proms, lb, rb = _peaks.find_peaks(
@@ -293,6 +316,8 @@ class Signal:
         proms = np.asarray(proms[:k])
         lb, rb = np.asarray(lb[:k]), np.asarray(rb[:k])
         res = {"prominences": proms, "left_bases": lb, "right_bases": rb}
+        if height is not None:
+            res["peak_heights"] = np.asarray(self._values)[idx]
         maxima = idx
         if include_edges:
             maxima = np.hstack([0, maxima, -1])
@@ -307,7 +332,12 @@ class Signal:
     def find_dips(self, include_edges=False, prominence=0.0, **kw):
         if self.ndim != 1:
             raise NotImplementedError("'find_dips' is only implemented for 1D arrays.")
-        return -((-self).find_peaks(include_edges, prominence, **kw))
+        inner = (-self).find_peaks(include_edges, prominence, **kw)
+        dips = -inner
+        # arithmetic returns a fresh container; restore the peak metadata
+        # the reference propagates through _replace_data (core.py:123-126)
+        dips.attrs.update(inner.attrs)
+        return dips
 
     def find_zero_crossings(self, height=None, delta=0.0):
         if self.ndim != 1:
@@ -366,10 +396,19 @@ class Signal:
             if self.ndim == 1:
                 xf = _filters.convolve1d(self._values, k1)
             else:
-                w = np.asarray(k1)
-                k2 = w[:, None] + w[None, :] - 1.0
+                # the reference composes the INTEGER ramp (w_i + w_j - 1,
+                # core.py:430-436) before normalizing — composing the
+                # normalized 1-D weights instead inverts the pyramid
+                half = int(width // 2)
+                ramp = np.asarray(
+                    list(range(1, half + 2)) + list(range(half, 0, -1)),
+                    float,
+                )
+                k2 = ramp[:, None] + ramp[None, :] - 1.0
                 k2 = k2 / k2.sum()
-                xf = _filters.convolve2d(self._values, jnp.asarray(k2))
+                xf = _filters.convolve2d(
+                    self._values, jnp.asarray(k2, self._values.dtype)
+                )
         else:
             raise ValueError(f"Kernel type '{kernel}' is unknown.")
         return self._replace_data(xf)
@@ -594,8 +633,18 @@ class TSeries(Signal):
         if max_lag is None:
             max_lag = self.size // 2
         lags = self._time - self._time.min()
-        if isinstance(max_lag, float):
-            max_lag = int(np.searchsorted(np.asarray(lags), max_lag) + 1)
+        # a float-VALUED max_lag means a time span (reference semantics);
+        # np.float64 subclasses float but jnp/np 0-d float arrays do not,
+        # so test the dtype rather than the Python type
+        is_time = (
+            isinstance(max_lag, float)
+            or (hasattr(max_lag, "dtype")
+                and np.issubdtype(np.asarray(max_lag).dtype, np.floating))
+        )
+        if is_time:
+            max_lag = int(
+                np.searchsorted(np.asarray(lags), float(max_lag)) + 1
+            )
         max_lag = min(int(max_lag), self.size)
         ryy = (self - self.mean()).psd(oversample=2.0, dt=self.median_dt).ifft()
         if unbias:
@@ -730,6 +779,12 @@ class TSeries(Signal):
             new_values = self._values[idx]
         else:
             raise NotImplementedError(f"interp method '{method}'")
+        if method in ("linear", "slinear", "nearest", "zero"):
+            # xarray's interp does not extrapolate: points outside the data
+            # range are NaN (reference core.py:636-662); jnp.interp and
+            # the index lookups above clamp to the edges instead
+            outside = (new_time < self._time[0]) | (new_time > self._time[-1])
+            new_values = jnp.where(outside, jnp.nan, new_values)
         return TSeries(new_time, new_values, assume_sorted=True)
 
     def interpolate_na(self, method="linear", **kwargs):
@@ -1077,17 +1132,27 @@ class FSeries(Signal):
             p = np.asarray(self.period)
             labels = 1.0 / np.arange(p.min(), p.max(), dp)
             x = p
-        xs = np.sort(x) if df is None else x
-        lo, hi = (min(x.min(), xs[0]), x.max())
+        lo, hi = x.min(), x.max()
         edges = np.linspace(lo, hi, labels.size + 1)
         edges[0] -= 1e-9 * (hi - lo)
         which = np.clip(np.searchsorted(edges, x, "left") - 1, 0, labels.size - 1)
+        good = ~np.isnan(v)
         out = np.full(labels.size, np.nan)
-        for b in range(labels.size):
-            vb = v[which == b]
-            vb = vb[~np.isnan(vb)]
-            if vb.size:
-                out[b] = func(vb) if func is not None else np.mean(vb)
+        if func is None or func is np.mean:
+            # two bincounts, O(N) — same vectorization as TSeries.downsample
+            sums = np.bincount(which[good], weights=v[good],
+                               minlength=labels.size)
+            counts = np.bincount(which[good], minlength=labels.size)
+            np.divide(sums, counts, out=out, where=counts > 0)
+        else:
+            order = np.argsort(which[good], kind="stable")
+            ids = which[good][order]
+            vals = v[good][order]
+            if ids.size:
+                starts = np.flatnonzero(np.r_[True, np.diff(ids) > 0])
+                out[ids[starts]] = [
+                    func(g) for g in np.split(vals, starts[1:])
+                ]
         return FSeries(labels, out).dropna()
 
 
@@ -1206,36 +1271,70 @@ class TFSeries(Signal):
             "uniform period grids. Use median_dp for a median value."
         )
 
+    @staticmethod
+    def _bin_reduce(x, V, labels, func):
+        """Bin the leading axis of V [N, M] by coordinate x [N] onto
+        ``labels`` bins shared across ALL M columns, then drop bins with
+        any NaN column (xarray ``dropna(dim, how="any")`` semantics —
+        per-column dropna could drop DIFFERENT bins per column and
+        misalign or break the stack). Returns (labels_kept, out [B, M])."""
+        n_bins = labels.size
+        lo, hi = x.min(), x.max()
+        edges = np.linspace(lo, hi, n_bins + 1)
+        edges[0] -= 1e-9 * (hi - lo)
+        which = np.clip(
+            np.searchsorted(edges, x, "left") - 1, 0, n_bins - 1
+        )
+        m = V.shape[1]
+        out = np.full((n_bins, m), np.nan)
+        good = ~np.isnan(V)
+        rows, cols = np.nonzero(good)
+        if func is None or func is np.mean:
+            sums = np.zeros((n_bins, m))
+            counts = np.zeros((n_bins, m))
+            np.add.at(sums, (which[rows], cols), V[rows, cols])
+            np.add.at(counts, (which[rows], cols), 1.0)
+            np.divide(sums, counts, out=out, where=counts > 0)
+        else:
+            for j in range(m):
+                gj = good[:, j]
+                ids = which[gj]
+                vals = V[gj, j]
+                order = np.argsort(ids, kind="stable")
+                ids, vals = ids[order], vals[order]
+                if ids.size:
+                    starts = np.flatnonzero(np.r_[True, np.diff(ids) > 0])
+                    out[ids[starts], j] = [
+                        func(g) for g in np.split(vals, starts[1:])
+                    ]
+        keep = ~np.isnan(out).any(axis=1)
+        return labels[keep], out[keep]
+
     def downsample(self, dt=None, df=None, dp=None, func=None):
         if df is not None and dp is not None:
             raise ValueError("Can't make a uniform grid at both frequency and period!")
         tf = self
         if df is not None:
-            fs = FSeries(tf._frequency, jnp.zeros(tf._frequency.shape[0]))
-            cols = []
-            for j in range(tf._values.shape[1]):
-                col = FSeries(tf._frequency, tf._values[:, j]).downsample(df=df, func=func)
-                cols.append((np.asarray(col.frequency), np.asarray(col.values)))
-            flabels = cols[0][0]
-            vals = np.stack([c[1] for c in cols], axis=1)
+            x = np.asarray(tf._frequency)
+            labels = np.arange(x.min(), x.max(), df)
+            flabels, vals = self._bin_reduce(
+                x, np.asarray(tf._values), labels, func
+            )
             tf = TFSeries(tf._time, flabels, vals)
-            del fs
         if dp is not None:
-            cols = []
-            for j in range(tf._values.shape[1]):
-                col = FSeries(tf._frequency, tf._values[:, j]).downsample(dp=dp, func=func)
-                cols.append((np.asarray(col.frequency), np.asarray(col.values)))
-            flabels = cols[0][0]
-            vals = np.stack([c[1] for c in cols], axis=1)
+            x = np.asarray(tf.period)
+            labels = 1.0 / np.arange(x.min(), x.max(), dp)
+            flabels, vals = self._bin_reduce(
+                x, np.asarray(tf._values), labels, func
+            )
             tf = TFSeries(tf._time, flabels, vals)
         if dt is not None:
-            rows = []
-            for i in range(tf._values.shape[0]):
-                row = TSeries(tf._time, tf._values[i]).downsample(dt, func=func)
-                rows.append((np.asarray(row.time), np.asarray(row.values)))
-            tlabels = rows[0][0]
-            vals = np.stack([r[1] for r in rows], axis=0)
-            tf = TFSeries(tlabels, tf._frequency, vals)
+            x = np.asarray(tf._time)
+            labels = np.arange(x.min(), x.max(), dt)
+            tlabels, vals = self._bin_reduce(
+                x, np.asarray(tf._values).T, labels, func
+            )
+            tf = TFSeries(tlabels, tf._frequency, vals.T)
         return tf
 
     def _plot2d(self, fn_name, *args, **kwargs):

@@ -278,3 +278,73 @@ def test_tfseries_surface_smoke(tmp_path):
     assert tf.surface() is not None
     plt.savefig(tmp_path / "surf.png")
     plt.close("all")
+
+
+def test_container_review_regressions():
+    """Regression coverage for the containers review findings: ragged
+    TFSeries downsample bins, 2-D triangle kernel orientation, float-array
+    acf max_lag, interp non-extrapolation, find_dips attrs, axis-number
+    reductions, and comparison against unhandled types."""
+    import jax.numpy as jnp
+
+    from periodicity_tpu.core import FSeries, TFSeries, TSeries
+
+    # TFSeries.downsample: a bin that is all-NaN in ONE column must be
+    # dropped consistently for every column (no ragged stack / misalign)
+    t = np.arange(6.0)
+    f = np.arange(8.0) + 1.0
+    vals = np.ones((8, 6))
+    vals[0:4, 1] = np.nan  # half the frequency rows NaN in one column
+    tfs = TFSeries(time=t, frequency=f, values=vals)
+    down = tfs.downsample(df=4.0)
+    assert not np.isnan(np.asarray(down.values)).any()
+    assert down.values.shape[0] == down.frequency.shape[0]
+
+    # 2-D triangle smooth: center-weighted pyramid (constant preserved,
+    # center weight maximal)
+    img = TFSeries(time=np.arange(5.0), frequency=np.arange(5.0),
+                   values=np.ones((5, 5)))
+    sm = img.smooth(3, kernel="triangle")
+    np.testing.assert_allclose(np.asarray(sm.values)[2, 2], 1.0, rtol=1e-12)
+    delta = np.zeros((5, 5)); delta[2, 2] = 1.0
+    smd = TFSeries(time=np.arange(5.0), frequency=np.arange(5.0),
+                   values=delta).smooth(3, kernel="triangle")
+    v = np.asarray(smd.values)
+    assert v[2, 2] == v.max()  # center of the pyramid, not a corner
+
+    # acf: jnp 0-d float max_lag means a TIME span
+    ts = TSeries(np.arange(200.0) * 0.5, np.sin(np.arange(200.0)))
+    a1 = ts.acf(max_lag=25.0)
+    a2 = ts.acf(max_lag=jnp.asarray(25.0))
+    assert a1.size == a2.size
+    assert float(a1.time[-1]) <= 25.5
+
+    # interp: no extrapolation for linear/nearest/zero
+    ts2 = TSeries(np.array([1.0, 2.0, 3.0]), np.array([1.0, 2.0, 3.0]))
+    out = ts2.interp(np.array([0.0, 2.5, 4.0]), method="linear")
+    assert np.isnan(np.asarray(out.values)[[0, 2]]).all()
+    assert np.asarray(out.values)[1] == 2.5
+
+    # find_dips carries prominences
+    dips = TSeries(np.arange(20.0), -np.sin(np.arange(20.0))).find_dips()
+    assert "prominences" in dips.attrs and "indices" in dips.attrs
+
+    # axis-number reductions wrap with the surviving coordinate
+    m0 = np.mean(tfs, axis=0)
+    assert isinstance(m0, TSeries) and m0.size == 6
+    m1 = np.mean(tfs, axis=1)
+    assert isinstance(m1, FSeries) and m1.size == 8
+
+    # comparisons against unhandled types fall back to Python semantics
+    assert (ts2 == "foo") is False
+    assert ts2 in [ts2]
+
+    # find_peaks: unsupported scipy kwargs raise clearly; height attr set
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ts.find_peaks(distance=5)
+    pk = TSeries(np.arange(30.0), np.sin(np.arange(30.0))).find_peaks(
+        height=0.5
+    )
+    assert "peak_heights" in pk.attrs
