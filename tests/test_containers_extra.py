@@ -348,3 +348,29 @@ def test_container_review_regressions():
         height=0.5
     )
     assert "peak_heights" in pk.attrs
+
+
+def test_weighted_smoothing_spline_fitpack_criterion():
+    """With weights, the s-targeted spline enforces FITPACK's criterion
+    sum((w*(y-f))**2) == s (splrep weights the OBJECTIVE by w**2; a
+    linear w fits a different curve). Small systems exercise the
+    pentadiagonal solver's edge cases."""
+    from periodicity_tpu.ops.spline import smoothing_spline_interp
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 80))
+    y = np.sin(x) + 0.2 * rng.standard_normal(80)
+    w = rng.uniform(0.5, 3.0, 80)
+    for s_val in (0.5, 2.0):
+        fitted = np.asarray(smoothing_spline_interp(x, y, x, s=s_val, w=w))
+        assert np.sum((w * (y - fitted)) ** 2) == pytest.approx(
+            s_val, rel=1e-5
+        )
+    # tiny systems (m = n-2 in {1, 2}) run through the banded solver
+    for n_small in (3, 4, 5):
+        xs = np.sort(rng.uniform(0, 1, n_small))
+        ys = rng.standard_normal(n_small)
+        out = np.asarray(
+            smoothing_spline_interp(xs, ys, xs, s=0.05)
+        )
+        assert np.isfinite(out).all()
