@@ -48,8 +48,12 @@ class EMD:
 
     def sift(self, sig):
         """One sifting evaluation; returns (mu: TSeries, sigma: TSeries,
-        n_ext, n_zero) like the reference (decomposition.py:45-70), raising
-        ValueError when the signal lacks extrema for padding."""
+        n_ext, n_zero) with the reference's semantics
+        (decomposition.py:45-70), raising ValueError when the signal lacks
+        extrema. Divergences: the reference's two distinct error messages
+        (padding vs envelope interpolation) merge into one carried flag,
+        and mu/sigma come back as TSeries containers rather than bare
+        ndarrays (this library's container-first surface)."""
         from ..ops.emd import sift as _sift
 
         mu, sigma, n_ext, n_zero, ok = _sift(
@@ -267,7 +271,14 @@ class CEEMDAN:
 
         log_event("ceemdan", n=n, ensemble_size=e, epsilon=self.epsilon,
                   max_modes=max_modes)
-        max_modes_cap = int(np.log2(n)) + 2
+        # Static-shape divergence from the reference: the noise-realization
+        # EMDs are pre-decomposed into at most log2(n)+2 mode slots (white
+        # noise yields ~log2(n) IMFs; the reference runs unbounded EMD per
+        # realization, decomposition.py:274-294). Stages beyond the cap add
+        # no noise. Override via ``self.noise_modes_cap`` before calling.
+        max_modes_cap = getattr(
+            self, "noise_modes_cap", int(np.log2(n)) + 2
+        )
         noise = self.rng.standard_normal((e, n))
         noise_modes, noise_counts = self._noise_modes(t, noise, max_modes_cap)
         m_cap = noise_modes.shape[1]
@@ -289,8 +300,16 @@ class CEEMDAN:
                 beta = self.epsilon * jnp.std(rv)
                 noise_k = noise_modes[:, k, :]
                 if k == 0:
-                    beta = beta / jnp.std(noise_k, axis=1, keepdims=True)
-                    noisy = rv[None, :] + beta * noise_k
+                    # reference decomposition.py:256-259: realizations whose
+                    # noise EMD produced no modes add NO noise (a zero row
+                    # here would otherwise give std=0 -> inf*0 = NaN and
+                    # poison the ensemble mean)
+                    std0 = jnp.std(noise_k, axis=1, keepdims=True)
+                    has0 = jnp.asarray(noise_counts > 0)[:, None]
+                    beta = beta / jnp.where(std0 > 0, std0, 1.0)
+                    noisy = rv[None, :] + jnp.where(
+                        has0, beta * noise_k, 0.0
+                    )
                 else:
                     has = jnp.asarray(noise_counts > k)
                     noisy = rv[None, :] + jnp.where(
@@ -429,7 +448,11 @@ class VMD:
                 return u_hat, omega
 
             u_hat, omega = jax.lax.fori_loop(0, K, upd, (u_hat, omega))
-            lam = lam + tau * (jnp.sum(u_hat, axis=0) - f_plus)
+            # dual ascent on the reconstruction constraint, paired with
+            # the +lam/2 numerator above (the paper's sign convention;
+            # the MATLAB release pairs -lam/2 with the opposite ascent —
+            # mixing the two makes ADMM diverge for any tau > 0)
+            lam = lam + tau * (f_plus - jnp.sum(u_hat, axis=0))
             return u_hat, omega, lam
 
         u_hat, omega, _ = jax.lax.fori_loop(

@@ -242,9 +242,11 @@ def autocorr_time(chain, c=5, quiet=True):
             f += _acf_1d(chain[:, w, dim])
         f /= n_walkers
         t = 2.0 * np.cumsum(f) - 1.0
-        # auto-window: smallest M with M >= c * tau[M]
+        # auto-window (emcee's auto_window): smallest M with M >= c*tau[M];
+        # when the window never closes emcee's np.argmin over the all-True
+        # mask yields 0 (tau = t[0]), NOT the largest cumulative estimate
         m = np.arange(len(t)) < c * t
-        window = np.argmin(m) if np.any(~m) else len(t) - 1
+        window = np.argmin(m) if np.any(m) else len(t) - 1
         taus[dim] = t[window]
     if not quiet and np.any(taus * 50 > n_steps):
         raise RuntimeError("chain too short for reliable autocorr time")

@@ -213,6 +213,12 @@ class CeleriteModeler:
 
         Returns (trace dict, tau) like the reference; also sets self.chain,
         self.acceptance, and self.psds when psd_at is given.
+
+        Divergence: ``use_prior=True`` initializes walkers uniformly over
+        the FULL hypercube (0, 100)^ndim — i.e. actually from the prior —
+        where the reference draws from (0, 1)^ndim (gp.py:467, which
+        concentrates every walker in one corner; that looks like an
+        upstream bug, so it is not reproduced).
         """
         key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
         k_init, k_run = jax.random.split(key)
@@ -267,11 +273,13 @@ class BrownianGP(CeleriteModeler):
 
     def prior_transform(self, u):
         u = jnp.asarray(u) / 100
-        period = self.period_ppf(u[2])
+        # reference coordinate order (gp.py:508-512): u[3] -> period,
+        # u[2] -> the log-uniform tau multiplier
+        period = self.period_ppf(u[3])
         return {
             "mean": _norm_ppf(u[0], self.mean, self.sigma),
             "sigma": jnp.exp(_norm_ppf(u[1], np.log(self.sigma), 2.0)),
-            "tau": period * 10 ** u[3],
+            "tau": period * 10 ** u[2],
             "period": period,
             "mix": u[4] * 0.5,
             "jitter": jnp.exp(_norm_ppf(u[5], np.log(self.jitter), 2.0)),

@@ -205,17 +205,21 @@ class GaussianProcess:
 
     def predict(self, y, t=None, return_var=False):
         """Conditional mean (and variance) at times t; dense MXU
-        cross-covariance (exact)."""
+        cross-covariance (exact). The semiseparable factorization is
+        computed ONCE and reused for both solves (one stacked RHS)."""
         resid = jnp.asarray(y) - self.mean
-        alpha = self._solve(resid)
         if t is None:
             t = self._t
         t = jnp.asarray(t)
         Kstar = self.kernel.get_value(t[:, None] - self._t[None, :])  # [M, N]
-        mu = self.mean + Kstar @ alpha
         if not return_var:
-            return mu
-        KinvKs = self._solve(Kstar.T)  # [N, M]
+            return self.mean + Kstar @ self._solve(resid)
+        A, U, V, P = celerite_matrices(self.kernel, self._t, self._diag)
+        D, W = celerite_factor(A, U, V, P)
+        rhs = jnp.concatenate([resid[:, None], Kstar.T], axis=1)
+        sol = celerite_solve(U, P, D, W, rhs)
+        alpha, KinvKs = sol[:, 0], sol[:, 1:]
+        mu = self.mean + Kstar @ alpha
         var = self.kernel.k0() - jnp.sum(Kstar * KinvKs.T, axis=1)
         return mu, var
 

@@ -70,3 +70,23 @@ def test_vmd_two_tones():
     r2 = np.linalg.norm(m2[sl] - s2[sl]) / np.linalg.norm(s2[sl])
     assert r1 < 0.05
     assert r2 < 0.05
+
+
+def test_vmd_dual_ascent_converges_with_tau():
+    """tau > 0 (noise-slack dual ascent) must IMPROVE reconstruction, not
+    diverge (regression: the dual update sign was paired with the wrong
+    numerator convention and exploded for any tau > 0)."""
+    from periodicity_tpu.decomposition import VMD
+
+    t = np.linspace(0, 1, 500, endpoint=False)
+    x = np.cos(2 * np.pi * 5 * t) + 0.5 * np.cos(2 * np.pi * 40 * t)
+
+    def rec_err(tau):
+        modes = VMD(n_modes=2, tau=tau, max_iter=300)(TSeries(t, x))
+        rec = np.sum([np.asarray(m.values) for m in modes], axis=0)
+        return np.max(np.abs(rec - x))
+
+    e0, e5 = rec_err(0.0), rec_err(0.5)
+    assert np.isfinite(e5)
+    assert e5 < e0
+    assert e5 < 0.02
