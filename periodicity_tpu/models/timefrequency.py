@@ -406,7 +406,9 @@ def _hht_batch_kernel(t, Y, grid, max_modes, method, norm_type, norm_iter,
         power = jax.vmap(
             lambda f, a: _ops_hht.spectrogram(grid, f, a)
         )(freq, amp)
-        power = power * jnp.maximum(n_modes, 1)[:, None, None]
+        # the mode sum scales power by the LIVE count: a member with zero
+        # IMFs has zero power, matching sequential HHT's empty output
+        power = power * n_modes[:, None, None]
         return power, modes, residue, n_modes
 
     # DQ/NHT need per-mode AM/FM normalization; dead mode slots are all

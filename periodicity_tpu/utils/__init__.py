@@ -5,7 +5,8 @@ are first-class here because a TPU framework is operated, not just run.
 """
 
 from .checkpoint import load_state, save_state
-from .logging import get_logger, log_event
+from .logging import get_logger, log_event, set_verbosity
 from .profiling import timer, trace
 
-__all__ = ["trace", "timer", "get_logger", "log_event", "save_state", "load_state"]
+__all__ = ["trace", "timer", "get_logger", "log_event",
+           "set_verbosity", "save_state", "load_state"]

@@ -21,19 +21,30 @@ def get_logger():
     if _LOGGER is None:
         logger = logging.getLogger("periodicity_tpu")
         if not logger.handlers:
-            handler = logging.StreamHandler()
-            handler.setFormatter(
-                logging.Formatter("%(name)s %(levelname)s %(message)s")
-            )
-            logger.addHandler(handler)
+            # actual standard library practice: a NullHandler, so the
+            # library never injects output into host applications and
+            # never double-emits once the app configures root logging
+            logger.addHandler(logging.NullHandler())
         logger.setLevel(logging.WARNING)
         _LOGGER = logger
     return _LOGGER
 
 
 def set_verbosity(level="info"):
-    """Set the event-log threshold ('debug'|'info'|'warning'|...)."""
-    get_logger().setLevel(getattr(logging, level.upper()))
+    """Set the event-log threshold ('debug'|'info'|'warning'|...) and
+    attach the library's own stderr handler (propagation is disabled at
+    that point so records are not ALSO emitted via the root logger)."""
+    logger = get_logger()
+    if not any(
+        isinstance(h, logging.StreamHandler) for h in logger.handlers
+    ):
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(name)s %(levelname)s %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.propagate = False
+    logger.setLevel(getattr(logging, level.upper()))
 
 
 def log_event(event, **fields):

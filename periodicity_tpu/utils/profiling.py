@@ -22,11 +22,20 @@ def trace(logdir):
         jax.profiler.stop_trace()
 
 
+_TIMER_TICK = [0]
+
+
 @contextlib.contextmanager
 def timer(label=None, sink=None, sync=True):
-    """Wall-clock timer that blocks on outstanding device work.
+    """Wall-clock timer that flushes outstanding device work.
 
-    Yields a dict whose 'seconds' key is filled on exit.
+    Yields a dict whose 'seconds' key is filled on exit. Assign the
+    timed computation's output to ``result['value']`` inside the block
+    for the strongest synchronization guarantee: on the TPU relay only a
+    VALUE READBACK truly synchronizes (block_until_ready does not, and
+    identical-args calls can be cache-served — see CLAUDE.md), so the
+    exit path reads back a scalar reduced from ``result['value']`` when
+    present, falling back to a fresh unique device scalar.
     """
     result = {"label": label, "seconds": None}
     t0 = time.perf_counter()
@@ -34,10 +43,16 @@ def timer(label=None, sink=None, sync=True):
         yield result
     finally:
         if sync:
-            # a trivial device computation serializes behind outstanding work
             import jax.numpy as jnp
 
-            (jnp.zeros(()) + 0).block_until_ready()
+            value = result.get("value")
+            if value is not None:
+                leaves = jax.tree_util.tree_leaves(value)
+                for leaf in leaves:
+                    float(jnp.real(jnp.ravel(jnp.asarray(leaf))[0]))
+            else:
+                _TIMER_TICK[0] += 1
+                float(jnp.zeros(()) + _TIMER_TICK[0])
         result["seconds"] = time.perf_counter() - t0
         if sink is not None:
             sink(result)

@@ -112,3 +112,35 @@ def test_logging_quiet_by_default(capsys):
     assert logger.level == logging.WARNING or logger.level == 0
     log_event("should_not_appear", x=1)
     assert "should_not_appear" not in capsys.readouterr().err
+
+
+def test_checkpoint_roundtrip_and_structure_validation(tmp_path):
+    """Extension-less paths round-trip (np.savez appends .npz silently);
+    loading into a mismatched structure raises instead of silently
+    swapping arrays."""
+    import pytest
+
+    from periodicity_tpu.utils import load_state, save_state
+
+    state = {"chain": np.arange(6.0).reshape(2, 3), "key": np.arange(2)}
+    p = str(tmp_path / "ckpt")  # no extension
+    save_state(p, state)
+    back = load_state(p, {"chain": np.zeros((2, 3)), "key": np.zeros(2)})
+    np.testing.assert_array_equal(back["chain"], state["chain"])
+    with pytest.raises(ValueError):
+        load_state(p, {"renamed": np.zeros((2, 3)), "key": np.zeros(2)})
+
+
+def test_set_verbosity_importable_and_no_double_handlers():
+    import logging
+
+    from periodicity_tpu.utils import set_verbosity, get_logger
+
+    set_verbosity("info")
+    set_verbosity("info")
+    logger = get_logger()
+    streams = [h for h in logger.handlers
+               if type(h) is logging.StreamHandler]
+    assert len(streams) == 1
+    assert logger.propagate is False
+    set_verbosity("warning")

@@ -183,3 +183,21 @@ def test_hht_all_zero_signal_returns_empty():
         assert tf is None
         assert h.tfs == []
         assert h.instant_fs == []
+
+
+def test_hht_batch_zero_mode_member_has_zero_power():
+    """A batch member whose EMD yields no IMFs gets ZERO spectrogram
+    power for TEO/HT (matching sequential HHT's empty output), not the
+    raw-signal spectrogram."""
+    from periodicity_tpu.timefrequency import hht_batch
+
+    t = np.linspace(0, 10, 256)
+    ys = np.stack([
+        np.sin(2 * np.pi * 2.0 * t),   # oscillatory: has modes
+        0.1 * t,                        # monotone: zero modes
+    ])
+    grid = np.linspace(0.05, 4.0, 32)
+    power, _, _, n_modes = hht_batch(t, ys, grid, max_modes=4, method="TEO")
+    assert int(n_modes[1]) == 0
+    assert float(np.abs(np.asarray(power[1])).sum()) == 0.0
+    assert float(np.abs(np.asarray(power[0])).sum()) > 0.0
