@@ -10,9 +10,10 @@ decomposition.py:12-375):
   ``multiprocessing.Pool`` (decomposition.py:277,304); here the whole
   ensemble is one ``vmap`` over the noise axis — all realizations sift in
   lock-step with per-member done masks.
-- LMD: eager orchestration over container ops (its zero-order-hold local
-  means and data-dependent smoothing windows are inherently dynamic; used
-  by HHT's 'lmd' normalization only).
+- LMD: the sift and demodulation loops are jitted kernels (ops/lmd.py) —
+  zero-order-hold local means become searchsorted fills on the uniform
+  grid, the data-dependent triangle window becomes a capacity-masked
+  gather convolution, demodulation is a ``lax.while_loop``.
 - VMD: implemented (the reference ships an empty stub,
   decomposition.py:206-207): ADMM in the frequency domain, which is a pure
   FFT/elementwise fixed-point iteration — a natural XLA program.
@@ -25,6 +26,7 @@ import jax.numpy as jnp
 from ..core import TSeries
 from ..utils.logging import log_event
 from ..ops.emd import emd_iter
+from ..ops.lmd import lmd_sift as _lmd_sift, lmd_iter as _lmd_iter
 
 __all__ = ["EMD", "CEEMDAN", "LMD", "VMD"]
 
@@ -109,10 +111,19 @@ class EMD:
 class LMD:
     """Local Mean Decomposition (reference decomposition.py:120-203).
 
-    Eager orchestration over container ops: LMD's zero-order-hold local
-    means and data-dependent triangle-smoothing windows change shape per
-    iteration, so it intentionally stays on the eager path (it is only the
-    'lmd' normalization backend of HHT).
+    The sift (zero-order-hold local mean/envelope between consecutive
+    extrema, data-dependent triangle smoothing) and the demodulation loop
+    run as jitted device kernels (ops/lmd.py); the ValueError-as-control-
+    flow of the reference becomes a carried monotonic flag. Requires a
+    uniformly sampled signal (like the reference, which reads
+    ``signal.dt``).
+
+    Numerics note: the smoothing loop's stop rule ("no zero first
+    differences", reference decomposition.py:150-155) is a boolean on
+    exact zeros; when a difference lands within one ulp of zero the device
+    kernel's summation order can disagree with a host-numpy evaluation by
+    one extra smoothing pass. The demodulation loop renormalizes, so
+    end-to-end product functions agree to ~1e-5 even on such inputs.
     """
 
     def __init__(self, max_iter=10, pad_width=0, smooth_iter=12, eps=1e-6):
@@ -122,63 +133,44 @@ class LMD:
         self.eps = eps
 
     def sift(self, sig):
-        peaks = sig.find_peaks(include_edges=True)
-        dips = sig.find_dips()
-        extrema = peaks.join(dips)
-        if extrema.size < (2 + self.pad_width):
+        """One sifting evaluation; returns (mu: TSeries, env: TSeries),
+        raising ValueError when the signal lacks extrema (reference
+        decomposition.py:127-163)."""
+        float(sig.dt)  # raises AttributeError on nonuniform grids
+        mu, env, ok = _lmd_sift(
+            sig.time, sig.values,
+            pad_width=self.pad_width, smooth_iter=self.smooth_iter,
+        )
+        if not bool(ok):
             raise ValueError("Signal doesn't have enough extrema for padding.")
-        if self.pad_width > 0:
-            extrema = extrema.pad(
-                self.pad_width, mode="reflect", reflect_type="odd"
-            ).drop([self.pad_width, -self.pad_width - 1])
-        if extrema.size < 3:
-            raise ValueError(
-                "Signal doesn't have enough extrema for envelope interpolation."
-            )
-        # zero-order-hold local mean and envelope between consecutive extrema
-        mu = 0.5 * (extrema.roll(1) + extrema)
-        mu = mu.fill_gaps(dt=float(sig.dt), method="bfill")
-        mu = TSeries(mu.time, mu.values.at[0].set(mu.values[1]), assume_sorted=True)
-        env = 0.5 * abs(extrema.roll(1) - extrema)
-        env = env.fill_gaps(dt=float(sig.dt), method="bfill")
-        env = TSeries(env.time, env.values.at[0].set(env.values[1]), assume_sorted=True)
-        # triangle smoothing; window from the widest extrema spacing
-        window = float(np.max(np.diff(np.asarray(extrema.time))) / float(sig.dt)) // 3
-        window = int(max(3, window + (1 - window % 2)))
-        for _ in range(self.smooth_iter):
-            mu = mu.smooth(window, kernel="triangle")
-            if np.all(np.diff(np.asarray(mu.values))):
-                break
-        for _ in range(self.smooth_iter):
-            env = env.smooth(window, kernel="triangle")
-            if np.all(np.diff(np.asarray(env.values))):
-                break
-        mu = mu.interp(sig.time)
-        env = env.interp(sig.time)
-        return mu, env
+        return (
+            TSeries(sig.time, mu, assume_sorted=True),
+            TSeries(sig.time, env, assume_sorted=True),
+        )
 
     def iter(self, sig):
-        is_monotonic = False
-        F = sig.copy()
-        A = 1.0
-        for _ in range(self.max_iter):
-            try:
-                mu, env = self.sift(F)
-            except ValueError:
-                is_monotonic = True
-                break
-            F = (F - mu) / env
-            A = A * env
-            if float(np.max(np.abs(np.asarray(F.values)))) - 1.0 < self.eps:
-                break
-        F = TSeries(F.time, jnp.clip(F.values, -1.0, 1.0), assume_sorted=True)
-        return A, F, is_monotonic
+        """Extract one product function; returns (A: TSeries, F: TSeries,
+        is_monotonic) — one jitted while_loop (reference
+        decomposition.py:165-183)."""
+        float(sig.dt)
+        A, F, mono = _lmd_iter(
+            sig.time, sig.values,
+            max_iter=self.max_iter, pad_width=self.pad_width,
+            smooth_iter=self.smooth_iter, eps=self.eps,
+        )
+        return (
+            TSeries(sig.time, A, assume_sorted=True),
+            TSeries(sig.time, F, assume_sorted=True),
+            bool(mono),
+        )
 
     def __call__(self, signal, max_modes=None):
         if not isinstance(signal, TSeries):
             signal = TSeries(values=signal)
         if max_modes is None:
             max_modes = np.inf
+        log_event("lmd", n=signal.size, max_iter=self.max_iter,
+                  max_modes=max_modes)
         pfs = []
         is_monotonic = signal.size < 4
         residue = signal.copy()
@@ -187,6 +179,7 @@ class LMD:
             if not is_monotonic:
                 pfs.append([A, F])
                 residue = residue - A * F
+        log_event("lmd_done", n_modes=len(pfs), monotonic=is_monotonic)
         self.signal = signal
         self.modes = pfs
         self.residue = residue

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..core import FSeries, TFSeries, TSeries
 from ..ops import hht as _ops_hht
 from ..ops import wavelet as _wav
-from .decomposition import EMD, LMD
+from .decomposition import EMD
 
 __all__ = [
     "WPS",
@@ -78,43 +78,12 @@ class HHT:
         self.norm_iter = norm_iter
         self.smooth_width = smooth_width
 
-    # -- normalization fallback for the eager LMD backend ------------------
-    def _lmd_normalize(self, mode, eps=1e-6, pad_width=2):
-        """AM/FM splitting with single LMD sifts as the envelope estimator.
-
-        LMD sifting is host-orchestrated by design (see
-        models/decomposition.py), so this backend stays eager; the phase
-        differentiation still runs in the jitted kernels.
-        """
-        fm = mode
-        amp = None
-        for _ in range(self.norm_iter):
-            mean, env = LMD(pad_width=pad_width).sift(fm)
-            fm = (fm - mean) / env
-            amp = env if amp is None else amp * env
-            if float(jnp.max(jnp.abs(fm.values))) - 1.0 < eps:
-                break
-        fm_values = jnp.clip(jnp.asarray(fm.values), -1.0, 1.0)
-        amp_values = (
-            jnp.asarray(amp.values) if amp is not None
-            else jnp.ones_like(fm_values)
-        )
-        return amp_values, fm_values
-
     def _per_mode_if(self, t, mode_stack):
-        """[M, N] mode values -> ([M, N] frequencies, [M, N] amplitudes)."""
-        if self.norm_type == "lmd" and self.method in ("DQ", "NHT"):
-            phase_fn = (
-                _ops_hht.dq_frequency
-                if self.method == "DQ"
-                else _ops_hht.nht_frequency
-            )
-            freqs, amps = [], []
-            for values in mode_stack:
-                amp, fm = self._lmd_normalize(TSeries(t, values))
-                freqs.append(phase_fn(t, fm))
-                amps.append(amp)
-            return jnp.stack(freqs), jnp.stack(amps)
+        """[M, N] mode values -> ([M, N] frequencies, [M, N] amplitudes).
+
+        One vmapped jitted kernel for every ``norm_type`` — the 'lmd'
+        backend runs as single jitted LMD sifts inside the normalization
+        while_loop (ops.lmd via ops.hht.am_fm_normalize)."""
 
         def one(values):
             return _ops_hht.instant_frequency(
@@ -448,11 +417,11 @@ def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
 
     All members' EMD mode extractions advance in lock-step (ops.emd
     ``emd_batch``); the per-(member, mode) instantaneous-frequency stack is
-    one flat vmap; the time-frequency scatter is batched. ``norm_type``
-    must be jit-able (``"spline"`` or ``"hilbert"`` — the eager ``"lmd"``
-    backend stays single-series in :class:`HHT`).
+    one flat vmap; the time-frequency scatter is batched. Every
+    ``norm_type`` (``"spline"``, ``"hilbert"``, ``"lmd"``) runs jitted.
 
-    time [N], values [B, N], frequencies [F] ->
+    time [N] (uniformly sampled for ``norm_type="lmd"``), values [B, N],
+    frequencies [F] ->
     (power [B, F, N], modes [B, max_modes, N], residue [B, N], n_modes [B]).
     Mode slots past a member's count are zero; each member's spectrogram
     matches the sequential ``HHT(frequencies, method=...)(y_b)`` whenever
@@ -464,11 +433,8 @@ def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
     """
     if method.upper() not in _IF_METHODS:
         raise ValueError(f"Method {method} is unknown.")
-    if norm_type.lower() not in ("spline", "hilbert"):
-        raise ValueError(
-            "hht_batch supports norm_type 'spline' or 'hilbert'; the eager "
-            "'lmd' backend is single-series (models.timefrequency.HHT)"
-        )
+    if norm_type.lower() not in _NORM_TYPES:
+        raise ValueError(f"Method {norm_type} is unknown.")
     grid = jnp.sort(jnp.asarray(frequencies, float))
     return _hht_batch_kernel(
         jnp.asarray(time), jnp.asarray(values), grid, int(max_modes),

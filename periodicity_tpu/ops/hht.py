@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .emd import upper_envelope
+from .lmd import lmd_sift
 from .wavelet import hilbert
 
 __all__ = [
@@ -75,20 +76,14 @@ def am_fm_normalize(t, x, norm_type="spline", n_iter=10, pad_width=2,
     Repeatedly divides the mode by its amplitude envelope until the
     residual FM part has unit amplitude (within ``eps``) or ``n_iter``
     passes ran. Returns ``(A, F)`` with ``F`` clipped to [-1, 1].
-    ``norm_type`` is ``"hilbert"`` (|analytic signal|) or ``"spline"``
-    (cubic-spline envelope of |F|).
+    ``norm_type`` is ``"hilbert"`` (|analytic signal|), ``"spline"``
+    (cubic-spline envelope of |F|), or ``"lmd"`` (single LMD sifts as the
+    mean/envelope estimator, reference timefrequency.py:81-83; requires a
+    uniformly sampled ``t``).
     """
-    if norm_type not in ("hilbert", "spline"):
-        raise ValueError(
-            f"norm_type {norm_type!r} unsupported here; 'lmd' normalization "
-            "is host-orchestrated in models.timefrequency.HHT"
-        )
+    if norm_type not in ("hilbert", "spline", "lmd"):
+        raise ValueError(f"norm_type {norm_type!r} unknown")
     x = jnp.asarray(x)
-
-    def envelope(F):
-        if norm_type == "hilbert":
-            return jnp.abs(hilbert(F))
-        return upper_envelope(t, jnp.abs(F), pad_width=pad_width)
 
     def cond(carry):
         _, _, it, done = carry
@@ -96,7 +91,20 @@ def am_fm_normalize(t, x, norm_type="spline", n_iter=10, pad_width=2,
 
     def body(carry):
         F, A, it, _ = carry
-        env = envelope(F)
+        if norm_type == "lmd":
+            # LMD normalization demodulates the local mean too:
+            # F <- (F - mu) / env (reference decomposition.py:165-183 via
+            # timefrequency.py:81-83); a failed sift (no extrema) stops
+            # the loop with the current F, A.
+            mu, env, ok = lmd_sift(t, F, pad_width=pad_width)
+            newF = jnp.where(ok, (F - mu) / env, F)
+            newA = jnp.where(ok, A * env, A)
+            done = (~ok) | (jnp.max(jnp.abs(newF)) - 1.0 < eps)
+            return newF, newA, it + 1, done
+        if norm_type == "hilbert":
+            env = jnp.abs(hilbert(F))
+        else:
+            env = upper_envelope(t, jnp.abs(F), pad_width=pad_width)
         F = F / env
         A = A * env
         done = jnp.max(jnp.abs(F)) - 1.0 < eps
