@@ -294,30 +294,47 @@ class Signal:
 
         Returns a container of the peak samples; ``attrs`` carries
         ``prominences``, ``left_bases``, ``right_bases``, ``indices`` (and
-        ``peak_heights`` when ``height`` is given) like the reference.
-        The reference forwards arbitrary kwargs to scipy.signal.find_peaks
-        (core.py:283-317); the first-party kernel implements the height /
-        prominence subset and raises clearly for the rest.
+        the scipy property arrays for any criterion given) like the
+        reference, which forwards kwargs to scipy.signal.find_peaks
+        (core.py:283-317). The on-device kernel implements every scipy
+        criterion — ``height``, ``threshold``, ``distance``,
+        ``prominence``, ``width`` (with ``wlen``/``rel_height``) and
+        ``plateau_size`` — as static scalars or (min, max) pairs;
+        per-sample criterion arrays are not supported.
         """
-        if peak_kwargs:
-            raise NotImplementedError(
-                f"find_peaks supports height= and prominence=; got "
-                f"{sorted(peak_kwargs)} (scipy's distance/threshold/width "
-                f"criteria are not implemented in the on-device kernel)"
+        allowed = {
+            "threshold", "distance", "width", "wlen", "rel_height",
+            "plateau_size",
+        }
+        unknown = set(peak_kwargs) - allowed
+        if unknown:
+            raise TypeError(
+                f"find_peaks got unknown criteria {sorted(unknown)}; "
+                f"supported: height, prominence, {sorted(allowed)}"
             )
         if self.ndim != 1:
             raise NotImplementedError("'find_peaks' is only implemented for 1D arrays.")
-        idx, cnt, proms, lb, rb = _peaks.find_peaks(
-            self._values, height=height,
-            prominence=prominence if prominence else None,
+
+        def _hashable(v):
+            return tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+
+        kwargs = {k: _hashable(v) for k, v in peak_kwargs.items()}
+        idx, cnt, props = _peaks.find_peaks_full(
+            self._values, height=_hashable(height),
+            prominence=_hashable(prominence) if np.ndim(prominence) or prominence else None,
+            **kwargs,
         )
         k = int(cnt)
+        res = {key: np.asarray(v[:k]) for key, v in props.items()}
+        if "prominences" not in res:
+            # peak-ranking surfaces (psort_by_prominence, FSeries FWHM...)
+            # always expect prominence metadata, criterion or not; computed
+            # at static capacity to keep the kernel cache warm
+            proms, lb, rb = _peaks.peak_prominences(self._values, idx)
+            res["prominences"] = np.asarray(proms[:k])
+            res["left_bases"] = np.asarray(lb[:k])
+            res["right_bases"] = np.asarray(rb[:k])
         idx = np.asarray(idx[:k])
-        proms = np.asarray(proms[:k])
-        lb, rb = np.asarray(lb[:k]), np.asarray(rb[:k])
-        res = {"prominences": proms, "left_bases": lb, "right_bases": rb}
-        if height is not None:
-            res["peak_heights"] = np.asarray(self._values)[idx]
         maxima = idx
         if include_edges:
             maxima = np.hstack([0, maxima, -1])

@@ -33,7 +33,7 @@ from ..ops.trig_sum import (
 )
 from ..utils.logging import log_event
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid"]
 
 
 def _nfft_2f(dtype, nf):
@@ -127,8 +127,10 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
         # instead of ~8.4): its extirpolation error (~1e-2 relative on the
         # smallest powers) is subdominant to f32 rounding (~5e-3, see
         # docs/performance.md) and the FFT cost of this pipeline halves.
-        # float64 keeps the full grid for reference-formula parity.
-        dtype = jnp.result_type(t.dtype, y.dtype, jnp.float32)
+        # float64 keeps the full grid for reference-formula parity. The
+        # dtype must match what trig_sum itself computes in — including
+        # err's (the weights'), not just t/y's.
+        dtype = jnp.result_type(t.dtype, y.dtype, err.dtype, jnp.float32)
         S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin,
                           nfft=_nfft_2f(dtype, nf), gridder=gridder,
                           taps=taps)
@@ -179,7 +181,8 @@ def _assemble_gls_power(Sh, Ch, S2, C2, S, C, YY, inv_var_sum, fit_mean, psd):
     return power / YY
 
 
-def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
+def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None,
+                    taps=4):
     """GLS power for B light curves sharing one time grid: batched row-
     scatter trig sums + broadcast assembly. With ``pair_q`` (half-bin
     grids) the (wy, w) pair at (df, fmin) shares one pipeline."""
@@ -190,16 +193,16 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
     S = C = None
     if fit_mean and pair_q is not None:
         Sh, Ch, S, C = trig_sum_batch_pair(
-            t, w * ys, w, df, nf, fmin, q=pair_q
+            t, w * ys, w, df, nf, fmin, q=pair_q, taps=taps
         )
     else:
-        Sh, Ch = trig_sum_batch(t, w * ys, df, nf, fmin)
+        Sh, Ch = trig_sum_batch(t, w * ys, df, nf, fmin, taps=taps)
         if fit_mean:
-            S, C = trig_sum_batch(t, w, df, nf, fmin)
+            S, C = trig_sum_batch(t, w, df, nf, fmin, taps=taps)
     # dtype-adaptive 2f grid, matching the single-series fast path
-    dtype = jnp.result_type(t.dtype, ys.dtype, jnp.float32)
+    dtype = jnp.result_type(t.dtype, ys.dtype, errs.dtype, jnp.float32)
     S2, C2 = trig_sum_batch(t, w, 2 * df, nf, 2 * fmin,
-                            nfft=_nfft_2f(dtype, nf))
+                            nfft=_nfft_2f(dtype, nf), taps=taps)
     YY = jnp.sum(w * ys**2, axis=1, keepdims=True)
     inv_var_sum = jnp.sum(errs ** -2.0, axis=1, keepdims=True)
     return _assemble_gls_power(
@@ -207,10 +210,10 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None):
     )
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q", "gridder"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q", "gridder", "taps"))
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
                     method="fast", batch_size=None, pair_q=None,
-                    gridder="scatter"):
+                    gridder="scatter", taps=4):
     """Batched GLS over many light curves sharing one time grid.
 
     ys, errs: [B, N]. Returns power [B, nf]. Two fast-path layouts:
@@ -238,7 +241,7 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
             y, e = args
             return gls_power(t, y, e, df, fmin, nf,
                              fit_mean=fit_mean, psd=psd, method=method,
-                             pair_q=pair_q, gridder=gridder)
+                             pair_q=pair_q, gridder=gridder, taps=taps)
 
         return jax.lax.map(one, (ys, errs))
 
@@ -264,16 +267,16 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
     def one_chunk(args):
         y, e = args
         return _gls_power_rows(t, y, e, df, fmin, nf, fit_mean, psd,
-                               pair_q=pair_q)
+                               pair_q=pair_q, taps=taps)
 
     out = jax.lax.map(one_chunk, (ys, errs))
     return out.reshape(groups * chunk, nf)[:b]
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q", "gridder"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q", "gridder", "taps"))
 def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
                       fit_mean=True, psd=False, method="fast", pair_q=None,
-                      gridder="scatter"):
+                      gridder="scatter", taps=4):
     """Max power per resampled replicate. All replicates share the time
     grid (reference spectral.py:144-148 resamples only values/errors), so
     they run through the batched row-scatter kernel."""
@@ -282,7 +285,7 @@ def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
     powers = gls_power_batch(
         t, y[idx], err[idx], df, fmin, nf,
         fit_mean=fit_mean, psd=psd, method=method, pair_q=pair_q,
-        gridder=gridder,
+        gridder=gridder, taps=taps,
     )
     return jnp.nanmax(powers, axis=1)
 
@@ -478,6 +481,65 @@ def bglst_log_ml(t, y, w, df, fmin, nf):
     return jax.lax.map(one, freqs, batch_size=256)
 
 
+@partial(jax.jit, static_argnames=("nf", "taps"))
+def bglst_log_ml_fast(t, y, w, df, fmin, nf, taps=12):
+    """BGLST log marginal likelihood via Press-Rybicki trig sums.
+
+    Every frequency-dependent entry of the 4x4 weighted normal equations
+    for the design [cos, sin, t, 1] is itself a trig sum:
+
+        sum w cos^2      = (W + C2f)/2        sum w sin cos = S2f/2
+        sum w sin^2      = (W - C2f)/2
+        sum w t cos/sin  = (C, S) of weights w*t at f
+        sum w cos/sin    = (C, S) of w at f
+        sum w y cos/sin  = (C, S) of w*y at f
+
+    so the whole O(nf * N) direct evaluation collapses to FOUR
+    extirpolation+FFT pipelines (w*y, w, w*t at f; w at 2f) plus batched
+    tiny 4x4 solves on the MXU — the same structure the reference's fast
+    GLS exploits (reference spectral.py:109-112). The trig-sum truncation
+    error scales like (pi*nf/nfft)^taps, so a DOUBLED extirpolation grid
+    with ``taps=12`` holds each sum at ~1e-11 relative (measured; x1 grid
+    floors at ~1e-7) and the log-ML matches the direct evaluation to
+    ~1e-8.
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    w = jnp.asarray(w)
+    W = jnp.sum(w)
+    # center the trend column at the weighted mean time: [cos, sin, t-c, 1]
+    # is a unit-determinant reparameterization of [cos, sin, t, 1], so
+    # logdet G and chi2 are EXACTLY invariant while the condition number
+    # of G (and with it the trig-sum error amplification) collapses
+    c = jnp.dot(w, t) / W
+    tc = t - c
+    nfft = 2 * grid_size(nf, 5)
+    Sy, Cy = trig_sum(t, w * y, df, nf, fmin, nfft=nfft, taps=taps)
+    Sw, Cw = trig_sum(t, w, df, nf, fmin, nfft=nfft, taps=taps)
+    St, Ct = trig_sum(t, w * tc, df, nf, fmin, nfft=nfft, taps=taps)
+    S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin, nfft=nfft, taps=taps)
+    swtt = jnp.dot(w, tc * tc)
+    swy = jnp.dot(w, y)
+    swty = jnp.dot(w, tc * y)
+    swyy = jnp.dot(w, y * y)
+    ones = jnp.ones(nf, t.dtype)
+    zeros = jnp.zeros(nf, t.dtype)
+    G = jnp.stack(
+        [
+            jnp.stack([(W + C2) / 2, S2 / 2, Ct, Cw], axis=-1),
+            jnp.stack([S2 / 2, (W - C2) / 2, St, Sw], axis=-1),
+            jnp.stack([Ct, St, swtt * ones, zeros], axis=-1),
+            jnp.stack([Cw, Sw, zeros, W * ones], axis=-1),
+        ],
+        axis=-2,
+    )  # [nf, 4, 4]
+    bvec = jnp.stack([Cy, Sy, swty * ones, swy * ones], axis=-1)  # [nf, 4]
+    theta = jnp.linalg.solve(G, bvec[..., None])[..., 0]
+    chi2 = swyy - jnp.sum(bvec * theta, axis=-1)
+    _, logdet = jnp.linalg.slogdet(G)
+    return -0.5 * chi2 - 0.5 * logdet
+
+
 class BGLST:
     """Bayesian Generalized Lomb-Scargle with trend (Olspert et al. 2018).
 
@@ -486,15 +548,22 @@ class BGLST:
     closed-form log marginal likelihood of a sinusoid + linear trend under
     flat parameter priors, evaluated on the GLS default grid.
 
+    ``method="fast"`` (default) assembles the normal equations from four
+    Press-Rybicki pipelines (:func:`bglst_log_ml_fast`) — the same
+    O(N + nfft log nfft) scaling as fast GLS; ``method="direct"`` keeps
+    the exact O(nf * N) evaluation for validation.
+
     Returns an FSeries of log marginal likelihood (up to a constant);
     its maximum marks the most probable period, robust against secular
     trends that bias plain GLS.
     """
 
-    def __init__(self, fmin=None, fmax=None, n=5):
+    def __init__(self, fmin=None, fmax=None, n=5, method="fast", taps=12):
         self.fmin = fmin
         self.fmax = fmax
         self.n = n
+        self.method = method
+        self.taps = taps
 
     def __call__(self, signal, err=None):
         if not isinstance(signal, TSeries):
@@ -503,7 +572,16 @@ class BGLST:
         if err is None:
             err = np.ones_like(np.asarray(signal.values))
         w = jnp.asarray(err) ** -2.0
-        logml = bglst_log_ml(signal.time, signal.values, w, df, fmin, freq.size)
+        log_event("bglst", n=signal.size, nf=freq.size, method=self.method)
+        if self.method == "fast":
+            logml = bglst_log_ml_fast(
+                signal.time, signal.values, w, df, fmin, freq.size,
+                taps=self.taps,
+            )
+        else:
+            logml = bglst_log_ml(
+                signal.time, signal.values, w, df, fmin, freq.size
+            )
         self.signal = signal
         self.frequency = freq
         self.periodogram = FSeries(freq, logml, assume_sorted=True)

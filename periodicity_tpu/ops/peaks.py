@@ -28,8 +28,12 @@ import jax.numpy as jnp
 
 __all__ = [
     "local_maxima_mask",
+    "local_maxima_info",
     "peak_prominences",
+    "peak_widths",
+    "select_by_peak_distance",
     "find_peaks",
+    "find_peaks_full",
     "zero_crossings_mask",
 ]
 
@@ -45,17 +49,22 @@ def _ilog2(n):
     return k
 
 
-def local_maxima_mask(x):
-    """Boolean mask of local maxima with scipy plateau semantics.
+def local_maxima_info(x):
+    """Local maxima with scipy plateau semantics, plus plateau edges.
 
     A sample i (0 < i < N-1) is a peak if it is the midpoint of a maximal
     run of equal values whose left neighbor is strictly smaller and right
     neighbor strictly smaller. Equivalent to scipy.signal._local_maxima_1d.
+
+    Returns (mask [N], left_edges [N], right_edges [N]): at a peak
+    midpoint m, ``left_edges[m]``/``right_edges[m]`` are the first/last
+    sample of its plateau (equal for sharp peaks); elsewhere both are 0.
     """
     x = jnp.asarray(x)
     n = x.shape[0]
     if n < 3:
-        return jnp.zeros((n,), bool)
+        z = jnp.zeros((n,), jnp.int32)
+        return jnp.zeros((n,), bool), z, z
     idx = jnp.arange(n - 1)
     # change position i means x[i+1] != x[i]; sentinel n where no change
     chg = jnp.where(x[1:] != x[:-1], idx, n)
@@ -68,7 +77,18 @@ def local_maxima_mask(x):
     valid = rising & falls
     mid = jnp.where(valid, (i + j) // 2, n)
     mask = jnp.zeros((n + 1,), bool).at[mid].set(True, mode="drop")
-    return mask[:n]
+    left = jnp.zeros((n + 1,), jnp.int32).at[mid].set(
+        i.astype(jnp.int32), mode="drop"
+    )
+    right = jnp.zeros((n + 1,), jnp.int32).at[mid].set(
+        j.astype(jnp.int32), mode="drop"
+    )
+    return mask[:n], left[:n], right[:n]
+
+
+def local_maxima_mask(x):
+    """Boolean mask of local maxima with scipy plateau semantics."""
+    return local_maxima_info(x)[0]
 
 
 def _sparse_tables(x):
@@ -105,13 +125,16 @@ def _range_min(mn, lo, hi):
     return jnp.minimum(a, b)
 
 
-def peak_prominences(x, peaks):
+def peak_prominences(x, peaks, wlen=None):
     """Prominences and bases for peak indices (scipy.signal.peak_prominences).
 
     Parameters
     ----------
     x: [N] signal.
     peaks: [K] int peak indices; entries >= N are padding and yield 0.
+    wlen: optional window length in samples (scipy semantics: rounded up
+        to the next odd integer; the base search is restricted to
+        ``[p - wlen//2, p + wlen//2]``).
 
     Returns
     -------
@@ -123,15 +146,27 @@ def peak_prominences(x, peaks):
     steps = 1
     while (1 << steps) <= n:
         steps += 1
+    if wlen is not None:
+        # round up to the next odd integer (scipy _arg_wlen_as_expected)
+        w = jnp.asarray(jnp.ceil(jnp.asarray(wlen)), jnp.int32)
+        half_w = jnp.where(w % 2 == 0, w, w - 1) // 2
 
     def one(p):
         p_safe = jnp.clip(p, 0, n - 1)
         v = x[p_safe]
+        if wlen is None:
+            w_lo = jnp.int32(0)
+            w_hi = jnp.int32(n - 1)
+        else:
+            w_lo = jnp.maximum(p_safe - half_w, 0)
+            w_hi = jnp.minimum(p_safe + half_w, n - 1)
 
-        # rightmost index j in [0, p-1] with x[j] > v (or -1)
+        # rightmost index j in [w_lo, p-1] with x[j] > v (or w_lo - 1)
         def left_higher():
-            lo, hi = jnp.int32(0), p_safe - 1
-            has = (hi >= lo) & (_range_max(mx, 0, jnp.maximum(hi, 0)) > v)
+            lo, hi = w_lo, p_safe - 1
+            has = (hi >= lo) & (
+                _range_max(mx, w_lo, jnp.maximum(hi, w_lo)) > v
+            )
 
             def body(_, carry):
                 lo, hi = carry
@@ -139,13 +174,15 @@ def peak_prominences(x, peaks):
                 go_right = _range_max(mx, mid, hi) > v
                 return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid - 1)
 
-            lo, hi = jax.lax.fori_loop(0, steps, body, (lo, jnp.maximum(hi, 0)))
-            return jnp.where(has, lo, -1)
+            lo, hi = jax.lax.fori_loop(0, steps, body, (lo, jnp.maximum(hi, w_lo)))
+            return jnp.where(has, lo, w_lo - 1)
 
-        # leftmost index j in [p+1, n-1] with x[j] > v (or n)
+        # leftmost index j in [p+1, w_hi] with x[j] > v (or w_hi + 1)
         def right_higher():
-            lo, hi = p_safe + 1, jnp.int32(n - 1)
-            has = (hi >= lo) & (_range_max(mx, jnp.minimum(lo, n - 1), n - 1) > v)
+            lo, hi = p_safe + 1, w_hi
+            has = (hi >= lo) & (
+                _range_max(mx, jnp.minimum(lo, w_hi), w_hi) > v
+            )
 
             def body(_, carry):
                 lo, hi = carry
@@ -153,18 +190,22 @@ def peak_prominences(x, peaks):
                 go_left = _range_max(mx, lo, mid) > v
                 return jnp.where(go_left, lo, mid + 1), jnp.where(go_left, mid, hi)
 
-            lo, hi = jax.lax.fori_loop(0, steps, body, (jnp.minimum(lo, n - 1), hi))
-            return jnp.where(has, lo, n)
+            lo, hi = jax.lax.fori_loop(0, steps, body, (jnp.minimum(lo, w_hi), hi))
+            return jnp.where(has, lo, w_hi + 1)
 
         lh = left_higher()
         rh = right_higher()
-        lmin = _range_min(mn, jnp.maximum(lh + 1, 0), p_safe)
-        rmin = _range_min(mn, p_safe, jnp.minimum(rh - 1, n - 1))
+        lmin = _range_min(mn, jnp.maximum(lh + 1, w_lo), p_safe)
+        rmin = _range_min(mn, p_safe, jnp.minimum(rh - 1, w_hi))
         prom = v - jnp.maximum(lmin, rmin)
         # base positions: scipy returns argmin locations; recover via binary
         # search for the leftmost/rightmost occurrence of the min value.
-        lbase = _argmin_in_range(x, mn, jnp.maximum(lh + 1, 0), p_safe, steps, leftmost=False)
-        rbase = _argmin_in_range(x, mn, p_safe, jnp.minimum(rh - 1, n - 1), steps, leftmost=True)
+        lbase = _argmin_in_range(
+            x, mn, jnp.maximum(lh + 1, w_lo), p_safe, steps, leftmost=False
+        )
+        rbase = _argmin_in_range(
+            x, mn, p_safe, jnp.minimum(rh - 1, w_hi), steps, leftmost=True
+        )
         ok = p < n
         return (
             jnp.where(ok, prom, 0.0),
@@ -173,6 +214,111 @@ def peak_prominences(x, peaks):
         )
 
     return jax.vmap(one)(jnp.asarray(peaks, jnp.int32))
+
+
+def peak_widths(x, peaks, prominences, left_bases, right_bases,
+                rel_height=0.5):
+    """Peak widths at a relative height (scipy.signal.peak_widths).
+
+    Uses precomputed prominence data (from :func:`peak_prominences`, with
+    the same ``wlen``). Entries with ``peaks >= N`` are padding.
+
+    Returns (widths [K], width_heights [K], left_ips [K], right_ips [K]).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    _, mn = _sparse_tables(x)
+    steps = 1
+    while (1 << steps) <= n:
+        steps += 1
+
+    def one(p, prom, lb, rb):
+        p_safe = jnp.clip(p, 0, n - 1)
+        height = x[p_safe] - prom * rel_height
+        lb = jnp.clip(lb, 0, n - 1)
+        rb = jnp.clip(rb, 0, n - 1)
+
+        # left: largest i in [lb, p] with x[i] <= height (the first sample
+        # at or below the height walking DOWN from the peak)
+        def descend(lo0, hi0, rightmost):
+            # rightmost=True: largest qualifying index; else smallest
+            def body(_, carry):
+                lo, hi = carry
+                if rightmost:
+                    mid = (lo + hi + 1) // 2
+                    good = _range_min(mn, mid, hi0) <= height
+                    return (
+                        jnp.where(good, mid, lo),
+                        jnp.where(good, hi, mid - 1),
+                    )
+                mid = (lo + hi) // 2
+                good = _range_min(mn, lo0, mid) <= height
+                return (
+                    jnp.where(good, lo, mid + 1),
+                    jnp.where(good, mid, hi),
+                )
+
+            lo, hi = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+            return lo if rightmost else hi
+
+        lhas = _range_min(mn, lb, p_safe) <= height
+        li = jnp.where(lhas, descend(lb, p_safe, True), lb)
+        # interpolate toward the peak when strictly below the height
+        # (scipy _peak_widths: left_ip = i + (height - x[i])/(x[i+1]-x[i]))
+        li1 = jnp.clip(li + 1, 0, n - 1)
+        lfrac = jnp.where(
+            x[li] < height, (height - x[li]) / (x[li1] - x[li]), 0.0
+        )
+        left_ip = li + lfrac
+
+        rhas = _range_min(mn, p_safe, rb) <= height
+        ri = jnp.where(rhas, descend(p_safe, rb, False), rb)
+        ri1 = jnp.clip(ri - 1, 0, n - 1)
+        rfrac = jnp.where(
+            x[ri] < height, (height - x[ri]) / (x[ri1] - x[ri]), 0.0
+        )
+        right_ip = ri - rfrac
+
+        ok = p < n
+        return (
+            jnp.where(ok, right_ip - left_ip, 0.0),
+            jnp.where(ok, height, 0.0),
+            jnp.where(ok, left_ip, 0.0),
+            jnp.where(ok, right_ip, 0.0),
+        )
+
+    return jax.vmap(one)(
+        jnp.asarray(peaks, jnp.int32),
+        jnp.asarray(prominences),
+        jnp.asarray(left_bases, jnp.int32),
+        jnp.asarray(right_bases, jnp.int32),
+    )
+
+
+def select_by_peak_distance(peaks, priority, distance):
+    """Keep mask for peaks closer than ``distance`` (scipy semantics:
+    iterate peaks by descending priority; each still-kept peak removes all
+    others within ``distance`` samples).
+
+    peaks: [K] ascending positions (sentinel-padded entries must be huge);
+    priority: [K] (peak heights); distance: minimal horizontal separation.
+    Returns keep [K] bool. O(K^2) vectorized work, K static.
+    """
+    peaks = jnp.asarray(peaks)
+    priority = jnp.asarray(priority)
+    k = peaks.shape[0]
+    distance = jnp.ceil(jnp.asarray(distance, jnp.result_type(0.0)))
+    # descending priority; stable ascending-position order among ties,
+    # reversed (scipy iterates argsort(priority) back to front)
+    order = jnp.argsort(priority, stable=True)[::-1]
+
+    def body(s, keep):
+        j = order[s]
+        near = jnp.abs(peaks - peaks[j]) < distance
+        near = near & (jnp.arange(k) != j)
+        return jnp.where(keep[j], keep & ~near, keep)
+
+    return jax.lax.fori_loop(0, k, body, jnp.ones((k,), bool))
 
 
 def _argmin_in_range(x, mn, lo, hi, steps, leftmost=True):
@@ -224,6 +370,130 @@ def find_peaks(x, capacity=None, height=None, prominence=None):
         rb = jnp.where(keep, rb, 0)[order]
     count = jnp.sum(idx < n)
     return idx, count, proms, lb, rb
+
+
+def _interval(arg):
+    """Split a scipy-style criterion into (min, max); scalars are minima."""
+    if isinstance(arg, (tuple, list)):
+        lo = arg[0]
+        hi = arg[1] if len(arg) > 1 else None
+        return lo, hi
+    return arg, None
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "height", "threshold", "distance", "prominence",
+        "width", "wlen", "rel_height", "plateau_size",
+    ),
+)
+def find_peaks_full(x, capacity=None, height=None, threshold=None,
+                    distance=None, prominence=None, width=None, wlen=None,
+                    rel_height=0.5, plateau_size=None):
+    """scipy.signal.find_peaks parity: all selection criteria, evaluated
+    in scipy's order (plateau_size, height, threshold, distance,
+    prominence, width), with the matching properties dict.
+
+    Criteria are static scalars or (min, max) tuples (None = unbounded);
+    per-sample criterion arrays are not supported. Returns
+    (indices [K], count, properties) with sentinel index ``n`` past the
+    count; property arrays are aligned with ``indices``.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if capacity is None:
+        capacity = n // 2 + 1
+    mask, ledge, redge = local_maxima_info(x)
+    idx = jnp.nonzero(mask, size=capacity, fill_value=n)[0].astype(jnp.int32)
+    props = {}
+
+    def compact(keep, idx, props):
+        new_idx = jnp.where(keep & (idx < n), idx, n)
+        order = jnp.argsort(new_idx)
+        return new_idx[order], {k: v[order] for k, v in props.items()}
+
+    if plateau_size is not None:
+        pmin, pmax = _interval(plateau_size)
+        safe = jnp.clip(idx, 0, n - 1)
+        le = ledge[safe]
+        re = redge[safe]
+        sizes = re - le + 1
+        props.update(plateau_sizes=sizes, left_edges=le, right_edges=re)
+        keep = jnp.ones_like(idx, bool)
+        if pmin is not None:
+            keep &= sizes >= pmin
+        if pmax is not None:
+            keep &= sizes <= pmax
+        idx, props = compact(keep, idx, props)
+
+    if height is not None:
+        hmin, hmax = _interval(height)
+        ph = x[jnp.clip(idx, 0, n - 1)]
+        props["peak_heights"] = ph
+        keep = jnp.ones_like(idx, bool)
+        if hmin is not None:
+            keep &= ph >= hmin
+        if hmax is not None:
+            keep &= ph <= hmax
+        idx, props = compact(keep, idx, props)
+
+    if threshold is not None:
+        tmin, tmax = _interval(threshold)
+        safe = jnp.clip(idx, 0, n - 1)
+        lt = x[safe] - x[jnp.clip(safe - 1, 0, n - 1)]
+        rt = x[safe] - x[jnp.clip(safe + 1, 0, n - 1)]
+        props.update(left_thresholds=lt, right_thresholds=rt)
+        keep = jnp.ones_like(idx, bool)
+        if tmin is not None:
+            keep &= jnp.minimum(lt, rt) >= tmin
+        if tmax is not None:
+            keep &= jnp.maximum(lt, rt) <= tmax
+        idx, props = compact(keep, idx, props)
+
+    if distance is not None:
+        valid = idx < n
+        # spread sentinel positions far apart so they can't suppress
+        # real peaks (or each other) for any sane distance
+        k = idx.shape[0]
+        pos = jnp.where(
+            valid, idx, n + (1 + jnp.arange(k, dtype=jnp.int32)) * n
+        )
+        prio = jnp.where(valid, x[jnp.clip(idx, 0, n - 1)], -jnp.inf)
+        keep = select_by_peak_distance(pos, prio, distance)
+        idx, props = compact(keep, idx, props)
+
+    if prominence is not None or width is not None:
+        proms, lb, rb = peak_prominences(x, idx, wlen=wlen)
+        props.update(prominences=proms, left_bases=lb, right_bases=rb)
+
+    if prominence is not None:
+        pmin, pmax = _interval(prominence)
+        keep = jnp.ones_like(idx, bool)
+        if pmin is not None:
+            keep &= props["prominences"] >= pmin
+        if pmax is not None:
+            keep &= props["prominences"] <= pmax
+        idx, props = compact(keep, idx, props)
+
+    if width is not None:
+        wmin, wmax = _interval(width)
+        widths, wh, lip, rip = peak_widths(
+            x, idx, props["prominences"], props["left_bases"],
+            props["right_bases"], rel_height,
+        )
+        props.update(
+            widths=widths, width_heights=wh, left_ips=lip, right_ips=rip
+        )
+        keep = jnp.ones_like(idx, bool)
+        if wmin is not None:
+            keep &= widths >= wmin
+        if wmax is not None:
+            keep &= widths <= wmax
+        idx, props = compact(keep, idx, props)
+
+    count = jnp.sum(idx < n)
+    return idx, count, props
 
 
 def zero_crossings_mask(x):

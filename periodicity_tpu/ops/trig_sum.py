@@ -177,7 +177,7 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
     return G1.imag, G1.real, G2.imag, G2.real
 
 
-def _batch_row_grid(u_rows, trel, df, nfft, dtype):
+def _batch_row_grid(u_rows, trel, df, nfft, dtype, taps=4):
     """Shared batched grid build: ONE row-scatter of N indices with
     (tap x re/im x batch)-packed rows + shifted-slice tap recombination.
 
@@ -186,7 +186,7 @@ def _batch_row_grid(u_rows, trel, df, nfft, dtype):
     estimator surface; see trig_sum_batch's docstring for direct callers.
     Returns (gre [B, nfft], gim [B, nfft])."""
     b = u_rows.shape[0]
-    inds, lag = _extirpolate_weights(trel, df, nfft, dtype)
+    inds, lag = _extirpolate_weights(trel, df, nfft, dtype, taps=taps)
     ilo = inds[:, 0].astype(jnp.int32)
     ur = u_rows.real
     ui = u_rows.imag
@@ -195,15 +195,15 @@ def _batch_row_grid(u_rows, trel, df, nfft, dtype):
             jnp.concatenate(
                 [lag[:, j:j + 1] * ur.T, lag[:, j:j + 1] * ui.T], axis=1
             )
-            for j in range(4)
+            for j in range(taps)
         ],
         axis=1,
-    )  # [N, 4 * 2B]
-    grid = jnp.zeros((nfft + 4, 8 * b), dtype).at[ilo].add(
+    )  # [N, taps * 2B]
+    grid = jnp.zeros((nfft + taps, 2 * taps * b), dtype).at[ilo].add(
         rows, indices_are_sorted=True, unique_indices=False
     )
     total = grid[0:nfft, 0:2 * b]
-    for j in range(1, 4):
+    for j in range(1, taps):
         block = grid[:, 2 * b * j: 2 * b * (j + 1)]
         total = total + jnp.concatenate(
             [jnp.zeros((j, 2 * b), dtype), block[: nfft - j]], axis=0
@@ -211,9 +211,9 @@ def _batch_row_grid(u_rows, trel, df, nfft, dtype):
     return total[:, :b].T, total[:, b:].T
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft", "q"))
+@partial(jax.jit, static_argnames=("nf", "nfft", "q", "taps"))
 def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
-                        q=1):
+                        q=1, taps=4):
     """Batched conjugate-symmetry pairing: the (w1, w2) sums for B curves
     at the same half-bin grid (fmin = q*df/2) from ONE row-scatter + ONE
     batched FFT. Combines the trig_sum_batch row packing with the
@@ -231,7 +231,7 @@ def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
     trel = t - tmin
     rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
     u = (w1_rows.astype(dtype) + 1j * w2_rows.astype(dtype)) * rot[None, :]
-    gre, gim = _batch_row_grid(u, trel, df, nfft, dtype)
+    gre, gim = _batch_row_grid(u, trel, df, nfft, dtype, taps=taps)
     G = nfft * jnp.fft.ifft(jax.lax.complex(gre, gim), axis=-1)  # [B, nfft]
     back = jnp.flip(
         jnp.conj(G[:, nfft - q - nf + 1 : nfft - q + 1]), axis=-1
@@ -245,8 +245,8 @@ def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
     return G1.imag, G1.real, G2.imag, G2.real
 
 
-@partial(jax.jit, static_argnames=("nf", "nfft"))
-def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
+@partial(jax.jit, static_argnames=("nf", "nfft", "taps"))
+def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5, taps=4):
     """Fast trig sums for B weight rows sharing one time grid.
 
     The extirpolation scatter on TPU is bound by the *number of scatter
@@ -286,7 +286,7 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5):
     trel = t - tmin
     rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
     u = w_rows.astype(cdtype) * rot[None, :]
-    gre, gim = _batch_row_grid(u, trel, df, nfft, dtype)
+    gre, gim = _batch_row_grid(u, trel, df, nfft, dtype, taps=taps)
     fftgrid = jnp.fft.ifft(jax.lax.complex(gre, gim), axis=-1)[:, :nf]
     freqs = fmin + df * jnp.arange(nf, dtype=dtype)
     fftgrid = fftgrid * jnp.exp(

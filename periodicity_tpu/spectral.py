@@ -5,9 +5,10 @@ from .models.spectral import (
     BGLST,
     GLS,
     bglst_log_ml,
+    bglst_log_ml_fast,
     default_frequency_grid,
     gls_power,
     gls_power_batch,
 )
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "default_frequency_grid"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid"]

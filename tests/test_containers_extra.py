@@ -339,11 +339,11 @@ def test_container_review_regressions():
     assert (ts2 == "foo") is False
     assert ts2 in [ts2]
 
-    # find_peaks: unsupported scipy kwargs raise clearly; height attr set
+    # find_peaks: unknown kwargs raise clearly; height attr set
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        ts.find_peaks(distance=5)
+    with _pytest.raises(TypeError):
+        ts.find_peaks(not_a_criterion=5)
     pk = TSeries(np.arange(30.0), np.sin(np.arange(30.0))).find_peaks(
         height=0.5
     )

@@ -347,3 +347,86 @@ def test_gls_high_order_taps_accuracy():
         np.asarray(gls_power(t, y, err, df, fmin, nf, pair_q=1, taps=8,
                              gridder="pallas")) - exact))
     assert err8p < 1e-5
+
+
+def test_trig_sum_batch_taps8_matches_single():
+    """taps= propagates through the batched row-scatter kernels
+    (trig_sum_batch / trig_sum_batch_pair) with per-row parity against the
+    single-series kernel at the same order."""
+    from periodicity_tpu.ops.trig_sum import (
+        trig_sum, trig_sum_batch, trig_sum_batch_pair, trig_sum_pair,
+    )
+
+    rng = np.random.default_rng(3)
+    n, b, nf = 500, 3, 256
+    t = np.sort(rng.uniform(0, 40, n))
+    ws = rng.standard_normal((b, n))
+    w2 = np.abs(rng.standard_normal((b, n))) + 0.1
+    df, fmin = 0.01, 0.005
+    S, C = trig_sum_batch(t, ws, df, nf, fmin, taps=8)
+    for i in range(b):
+        Si, Ci = trig_sum(t, ws[i], df, nf, fmin, taps=8)
+        np.testing.assert_allclose(np.asarray(S[i]), np.asarray(Si),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(C[i]), np.asarray(Ci),
+                                   rtol=1e-9, atol=1e-12)
+    S1, C1, S2, C2 = trig_sum_batch_pair(t, ws, w2, df, nf, fmin, q=1,
+                                         taps=8)
+    for i in range(b):
+        s1, c1, s2, c2 = trig_sum_pair(t, ws[i], w2[i], df, nf, fmin, q=1,
+                                       taps=8)
+        for got, want in ((S1[i], s1), (C1[i], c1), (S2[i], s2), (C2[i], c2)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-9, atol=1e-12)
+
+
+def test_gls_power_batch_taps_kwarg():
+    """gls_power_batch(taps=8) matches per-series gls_power(taps=8)."""
+    from periodicity_tpu.spectral import gls_power, gls_power_batch
+
+    rng = np.random.default_rng(4)
+    n, b = 400, 3
+    t = np.sort(rng.uniform(0, 50, n))
+    ys = np.stack([np.sin(2 * np.pi * t / p) + 0.1 * rng.standard_normal(n)
+                   for p in (3.0, 5.0, 7.0)])
+    errs = np.full((b, n), 0.1)
+    df, fmin, nf = 0.005, 0.0025, 512
+    batch = np.asarray(gls_power_batch(t, ys, errs, df, fmin, nf, taps=8))
+    for i in range(b):
+        single = np.asarray(gls_power(t, ys[i], errs[i], df, fmin, nf,
+                                      taps=8))
+        np.testing.assert_allclose(batch[i], single, rtol=1e-8, atol=1e-10)
+
+
+def test_bglst_fast_matches_direct():
+    """The Press-Rybicki BGLST assembly matches the exact direct
+    evaluation to ~1e-8 on the default-style grid (VERDICT r2 item 9)."""
+    from periodicity_tpu.spectral import bglst_log_ml, bglst_log_ml_fast
+    from periodicity_tpu.core import TSeries as _TS
+
+    rng = np.random.default_rng(5)
+    n, nf = 600, 2000
+    t = np.sort(rng.uniform(0, 80, n))
+    y = np.sin(2 * np.pi * t / 7.0) + 0.02 * t + 0.3 * rng.standard_normal(n)
+    w = np.full(n, 0.3) ** -2.0
+    df = 1.0 / 5 / (t[-1] - t[0])
+    fmin = df / 2
+    direct = np.asarray(bglst_log_ml(t, y, w, df, fmin, nf))
+    fast = np.asarray(bglst_log_ml_fast(t, y, w, df, fmin, nf))
+    assert np.argmax(direct) == np.argmax(fast)
+    np.testing.assert_allclose(fast, direct, atol=5e-8)
+
+
+def test_bglst_estimator_fast_default():
+    """BGLST() runs the fast path by default and stays trend-robust."""
+    from periodicity_tpu.spectral import BGLST
+
+    rng = np.random.default_rng(6)
+    t = np.sort(rng.uniform(0, 60, 400))
+    y = np.sin(2 * np.pi * t / 6.0) + 0.05 * t + 0.2 * rng.standard_normal(400)
+    sig = TSeries(t, y)
+    bg = BGLST()
+    assert bg.method == "fast"
+    fs = bg(sig, err=np.full(400, 0.2))
+    best = float(fs.period_at_highest_peak)
+    assert abs(best - 6.0) < 0.15
