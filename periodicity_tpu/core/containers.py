@@ -255,10 +255,20 @@ class Signal:
             # number; translate to the named dim so the result is wrapped
             # with its surviving coordinate (reference core.py:23-35)
             axis_kw = kw.pop("axis")
+            if isinstance(axis_kw, (tuple, list)) and len(axis_kw) == 1:
+                axis_kw = axis_kw[0]
             if isinstance(axis_kw, (int, np.integer)):
                 dim = self.dims[int(axis_kw) % self.ndim]
+            elif isinstance(axis_kw, (tuple, list)) and len(axis_kw) >= self.ndim:
+                kw["axis"] = tuple(axis_kw)  # full reduce below
             else:
-                kw["axis"] = axis_kw  # tuple axes: full reduce below
+                # a partial tuple reduction would return a bare array with
+                # no coordinate attached — refuse rather than silently
+                # dropping the surviving dim's labels
+                raise NotImplementedError(
+                    f"partial tuple-axis reduction {axis_kw!r} on "
+                    f"{type(self).__name__}; reduce one named dim at a time"
+                )
         if dim is None:
             return _scalar(fn(self._values, **kw))
         axis = self.dims.index(dim)
@@ -757,7 +767,13 @@ class TSeries(Signal):
 
     def interp(self, new_time=None, method="linear", **kwargs):
         """Interpolation onto a new grid (reference core.py:636-662);
-        method='spline' is splrep/splev-equivalent (not-a-knot cubic)."""
+        method='spline' is splrep/splev-equivalent (not-a-knot cubic).
+
+        Points outside the data range are NaN for the xarray-backed
+        methods (linear/slinear/nearest/zero/quadratic/cubic — the
+        reference's interp1d uses fill_value=nan); method='spline'
+        EXTRAPOLATES the boundary polynomial like FITPACK splev (ext=0),
+        matching the reference's splrep/splev path."""
         if new_time is None:
             new_time = np.arange(
                 float(self._time.min()), float(self._time.max()), float(self.median_dt)
@@ -796,10 +812,12 @@ class TSeries(Signal):
             new_values = self._values[idx]
         else:
             raise NotImplementedError(f"interp method '{method}'")
-        if method in ("linear", "slinear", "nearest", "zero"):
+        if method in ("linear", "slinear", "nearest", "zero", "quadratic",
+                      "cubic"):
             # xarray's interp does not extrapolate: points outside the data
-            # range are NaN (reference core.py:636-662); jnp.interp and
-            # the index lookups above clamp to the edges instead
+            # range are NaN (reference core.py:636-662); the kernels above
+            # clamp/extrapolate instead. method='spline' keeps FITPACK
+            # splev's boundary-polynomial extrapolation (see docstring).
             outside = (new_time < self._time[0]) | (new_time > self._time[-1])
             new_values = jnp.where(outside, jnp.nan, new_values)
         return TSeries(new_time, new_values, assume_sorted=True)

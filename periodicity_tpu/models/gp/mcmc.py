@@ -88,7 +88,7 @@ def run_ensemble_checkpointed(log_prob_fn, x0, key, n_steps, a=2.0,
     """
     import os
 
-    from ...utils.checkpoint import load_state, save_state
+    from ...utils.checkpoint import _npz_path, load_state, save_state
 
     x0 = jnp.asarray(x0)
     w, d = x0.shape
@@ -103,7 +103,10 @@ def run_ensemble_checkpointed(log_prob_fn, x0, key, n_steps, a=2.0,
 
     like = {"chunk": np.asarray(0), "x": np.asarray(x0), "chain": chain,
             "lps": lps, "acc_steps": acc_steps}
-    if checkpoint_path and os.path.exists(checkpoint_path):
+    # save_state/load_state append '.npz' when missing; the existence
+    # probe must look for the SAME name or an extensionless
+    # checkpoint_path would silently restart instead of resuming
+    if checkpoint_path and os.path.exists(_npz_path(checkpoint_path)):
         saved = load_state(checkpoint_path, like)
         start = int(saved["chunk"])
         x = jnp.asarray(saved["x"])

@@ -26,6 +26,7 @@ from jax.scipy.special import ndtri
 
 from ...core import TSeries
 from ...ops.optimize import lbfgs_box
+from ...utils.logging import log_event
 from . import mcmc as _mcmc
 from .pscan import (log_likelihood_blocked, log_likelihood_pscan,
                     log_likelihood_sharded)
@@ -174,12 +175,16 @@ class CeleriteModeler:
         (reference gp.py:404-415)."""
         if u0 is None:
             u0 = jnp.full(self.ndim, 50.0)
+        log_event("gp_minimize", modeler=type(self).__name__,
+                  n=self.signal.size, ndim=self.ndim, solver=self.solver)
         x, fval = lbfgs_box(
             self._nll_jit, jnp.asarray(u0),
             lower=jnp.full(self.ndim, 0.01),
             upper=jnp.full(self.ndim, 99.99),
             **kwargs,
         )
+        log_event("gp_minimize_done", modeler=type(self).__name__,
+                  fun=float(fval))
         soln = types.SimpleNamespace(x=np.asarray(x), fun=float(fval))
         opt_params = self.prior_transform(x)
         opt_gp = self.set_params(dict(opt_params), self.gp)
@@ -220,6 +225,9 @@ class CeleriteModeler:
         concentrates every walker in one corner; that looks like an
         upstream bug, so it is not reproduced).
         """
+        log_event("gp_mcmc", modeler=type(self).__name__,
+                  n=self.signal.size, n_walkers=n_walkers, n_steps=n_steps,
+                  solver=self.solver, checkpointed=checkpoint_path is not None)
         key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
         k_init, k_run = jax.random.split(key)
         if use_prior:
@@ -242,6 +250,8 @@ class CeleriteModeler:
             )
         self.chain = np.asarray(chain)
         self.acceptance = float(acc)
+        log_event("gp_mcmc_done", modeler=type(self).__name__,
+                  acceptance=self.acceptance)
         samples = self.chain[burn:].reshape(-1, self.ndim)
         tau = _mcmc.autocorr_time(self.chain[burn:])
         trace = self.prior_transform(jnp.asarray(samples.T))
@@ -405,8 +415,12 @@ class GeorgeModeler:
                 )
                 return _base(theta) + penalty
 
+        log_event("gp_minimize", modeler=type(self).__name__,
+                  n=self.signal.size, ndim=self.ndim)
         x, fval = lbfgs_box(fun, self.theta0, lower=lower, upper=upper, **kwargs)
         soln = types.SimpleNamespace(x=np.asarray(x), fun=float(self._nll_jit(x)))
+        log_event("gp_minimize_done", modeler=type(self).__name__,
+                  fun=soln.fun)
         return soln, self
 
     def log_prob(self, theta, gp=None):
@@ -443,16 +457,36 @@ class GeorgeModeler:
             theta = self.theta0
         return self._kernel_value(jnp.asarray(theta), jnp.asarray(tau))
 
-    def mcmc(self, n_walkers=50, n_steps=1000, burn=0, random_seed=None):
+    def mcmc(self, n_walkers=50, n_steps=1000, burn=0, random_seed=None,
+             checkpoint_path=None, checkpoint_every=100):
+        """On-device ensemble sampling (reference gp.py:257-293 drives
+        emcee). With ``checkpoint_path``, resumable state is saved every
+        ``checkpoint_every`` steps and an interrupted run continues from
+        the existing checkpoint (SURVEY §5.4), mirroring
+        CeleriteModeler.mcmc."""
+        log_event("gp_mcmc", modeler=type(self).__name__,
+                  n=self.signal.size, n_walkers=n_walkers, n_steps=n_steps,
+                  checkpointed=checkpoint_path is not None)
         key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
         k_init, k_run = jax.random.split(key)
         soln, _ = self.minimize()
         x0 = jnp.asarray(soln.x)[None, :] + 1e-3 * jax.random.normal(
             k_init, (n_walkers, self.ndim)
         )
-        chain, lps, acc = _mcmc.run_ensemble(self._lp_jit, x0, k_run, int(n_steps))
+        if checkpoint_path is not None:
+            chain, lps, acc = _mcmc.run_ensemble_checkpointed(
+                self._lp_jit, x0, k_run, int(n_steps),
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+            )
+        else:
+            chain, lps, acc = _mcmc.run_ensemble(
+                self._lp_jit, x0, k_run, int(n_steps)
+            )
         self.chain = np.asarray(chain)
         self.acceptance = float(acc)
+        log_event("gp_mcmc_done", modeler=type(self).__name__,
+                  acceptance=self.acceptance)
         samples = self.chain[burn:].reshape(-1, self.ndim)
         tau = _mcmc.autocorr_time(self.chain[burn:])
         self.sampler = types.SimpleNamespace(chain=self.chain, acceptance=self.acceptance)

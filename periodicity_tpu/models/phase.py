@@ -35,6 +35,8 @@ __all__ = [
     "ConditionalEntropy",
     "GregoryLoredo",
     "string_length_scan",
+    "string_length_scan_fast",
+    "string_length_approx_scan",
     "string_length_batch",
     "pdm_scan",
     "pdm_batch",
@@ -65,6 +67,73 @@ def string_length_scan(t, m, periods, batch_size=128):
         return jnp.sum(jnp.hypot(dm, dphi))
 
     return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def string_length_approx_scan(t, m, periods, batch_size=512):
+    """Quantized packed-key string lengths: one int32 sort per period.
+
+    The exact kernel's lexicographic two-operand sort moves two f32
+    arrays through every bitonic stage; here phase (16 bits, high) and
+    magnitude (16 bits, low) pack into ONE int32 key, the sort carries a
+    single operand, and both values unpack from the sorted keys. The
+    quantization perturbs each string segment by <= ~2e-5, i.e. the total
+    by ~1e-2 absolute on config-4-scale statistics (values ~1e2) —
+    uniform across periods, so ranking is preserved to far below any
+    physical minimum separation. Phase-binned moment surrogates were
+    rejected: their bias is period-dependent (within-bin phase order
+    anti-correlates through cycle interleaving), which breaks the mixed
+    approximate/exact output of the fast path.
+    """
+    t = jnp.asarray(t)
+    m = jnp.asarray(m)
+    # m is scaled to [-0.25, 0.25] by the estimator (reference phase.py:66)
+    mq = jnp.clip(
+        ((m + 0.25) * (65535.0 / 0.5)).astype(jnp.int32), 0, 65535
+    )
+    inv_phi = jnp.asarray(1.0 / 65536.0, m.dtype)
+    inv_m = jnp.asarray(0.5 / 65535.0, m.dtype)
+
+    def one(period):
+        phi = (t / period) % 1.0
+        pq = jnp.clip((phi * 65536.0).astype(jnp.int32), 0, 65535)
+        key = (pq << 16) | mq
+        ks = jax.lax.sort(key)
+        phi_s = (ks >> 16).astype(m.dtype) * inv_phi
+        m_s = (ks & 0xFFFF).astype(m.dtype) * inv_m - 0.25
+        dm = jnp.roll(m_s, -1) - m_s
+        dp = jnp.roll(phi_s, -1) - phi_s
+        return jnp.sum(jnp.sqrt(dm * dm + dp * dp))
+
+    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+@partial(jax.jit, static_argnames=("refine_top", "batch_size"))
+def string_length_scan_fast(t, m, periods, refine_top=None, batch_size=512):
+    """String lengths with exact minima at reduced sort cost.
+
+    Scores every trial period with the packed single-key quantized sort,
+    then rescores the ``refine_top`` most promising periods (smallest
+    approximate lengths; default max(64, P//100)) with the exact
+    two-operand-sort kernel. Minima are what the statistic is for
+    (reference phase.py:45-51 takes the best period from them), so the
+    returned periodogram is EXACT at every candidate minimum and within
+    quantization error (~1e-2 absolute) elsewhere. Use
+    :func:`string_length_scan` when every value must be exact.
+    """
+    periods = jnp.asarray(periods)
+    p = periods.shape[0]
+    if refine_top is None:
+        refine_top = max(64, p // 100)
+    refine_top = min(refine_top, p)
+    approx = string_length_approx_scan(
+        t, m, periods, batch_size=batch_size
+    )
+    _, idx = jax.lax.top_k(-approx, refine_top)
+    exact = string_length_scan(
+        t, m, periods[idx], batch_size=min(batch_size, refine_top)
+    )
+    return approx.at[idx].set(exact)
 
 
 @partial(jax.jit, static_argnames=("nb", "nc", "batch_size"))
@@ -269,13 +338,22 @@ class StringLength:
     n_periods: number of trial periods; default 1000.
     batch_size: on-device chunk size over the period grid (replaces the
         reference's ``cores`` process count).
+    method: "fast" (default) scores all periods with the quantized
+        packed-key sort and rescores the most promising candidates with
+        the exact kernel (minima — the statistic's purpose — are exact;
+        off-minimum values carry ~1e-2 quantization error); "exact"
+        evaluates the Dworetsky sum everywhere.
+    refine_top: fast-path rescoring count (see string_length_scan_fast).
     """
 
-    def __init__(self, dphi=0.1, n_periods=1000, batch_size=128, cores=None):
+    def __init__(self, dphi=0.1, n_periods=1000, batch_size=128, cores=None,
+                 method="fast", refine_top=None):
         del cores  # reference-API compatibility; scans are on-device
         self.dphi = dphi
         self.n_periods = n_periods
         self.batch_size = batch_size
+        self.method = method
+        self.refine_top = refine_top
 
     def __call__(self, signal):
         if not isinstance(signal, TSeries):
@@ -286,10 +364,16 @@ class StringLength:
         df = self.dphi / float(signal.baseline)
         periods = 1.0 / np.linspace(self.n_periods * df, df, self.n_periods)
         log_event("string_length", n=signal.size, n_periods=self.n_periods,
-                  batch_size=self.batch_size)
-        ell = string_length_scan(
-            signal.time, m.values, periods, batch_size=self.batch_size
-        )
+                  batch_size=self.batch_size, method=self.method)
+        if self.method == "fast":
+            ell = string_length_scan_fast(
+                signal.time, m.values, periods,
+                refine_top=self.refine_top, batch_size=self.batch_size,
+            )
+        else:
+            ell = string_length_scan(
+                signal.time, m.values, periods, batch_size=self.batch_size
+            )
         self.periodogram = FSeries(1.0 / periods, ell)
         return self.periodogram
 

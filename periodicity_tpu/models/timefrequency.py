@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..core import FSeries, TFSeries, TSeries
 from ..ops import hht as _ops_hht
 from ..ops import wavelet as _wav
+from ..utils.logging import log_event
 from .decomposition import EMD
 
 __all__ = [
@@ -102,6 +103,8 @@ class HHT:
         self.signal = signal
         t = jnp.asarray(signal.time)
         grid = jnp.asarray(self.frequencies)
+        log_event("hht", n=signal.size, nf=grid.shape[0],
+                  method=self.method, norm_type=self.norm_type)
 
         modes = self.emd(signal)
         live = [m for m in modes if bool(jnp.any(m.values != 0))]
@@ -154,6 +157,7 @@ class HHT:
         self.instant_as = instant_as
         self.tfs = tfs
         self.tf = tf
+        log_event("hht_done", n_modes=len(modes), n_live=len(instant_fs))
         return tf
 
 
@@ -213,6 +217,7 @@ class WPS:
         if not isinstance(signal, TSeries):
             signal = TSeries(values=signal)
         dt = float(signal.median_dt)
+        log_event("wps", n=signal.size, n_scales=self.periods.size)
         scales = _wav.scale2frequency(self.FAMILY, 1) * self.periods / dt
 
         coefs = _wav.cwt_morlet(

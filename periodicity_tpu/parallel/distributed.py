@@ -39,9 +39,14 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     """
     import jax
 
-    state = getattr(jax._src.distributed, "global_state", None)
-    if state is not None and getattr(state, "client", None) is not None:
-        return True  # already initialized
+    try:
+        # private introspection; tolerated loss across jax upgrades — the
+        # fallback just means a redundant initialize() raises visibly
+        state = getattr(jax._src.distributed, "global_state", None)
+        if state is not None and getattr(state, "client", None) is not None:
+            return True  # already initialized
+    except AttributeError:
+        pass
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
@@ -54,12 +59,28 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     if coordinator_address is None:
         return False  # single process: stay zero-config
 
-    from jax._src import xla_bridge
+    too_late = False
+    try:
+        from jax._src import xla_bridge
 
-    if xla_bridge.backends_are_initialized():
-        # too late to initialize (jax.distributed.initialize must precede
-        # any backend use); report honestly rather than raising so library
-        # code can call this unconditionally
+        too_late = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):
+        pass  # private API moved: fall through and let initialize decide
+    if too_late:
+        # jax.distributed.initialize must precede any backend use; a
+        # coordinator WAS configured, so running single-process is a
+        # misconfiguration worth flagging, not a silent degradation
+        import warnings
+
+        warnings.warn(
+            "initialize_distributed called after the jax backend was "
+            "initialized; the configured coordinator "
+            f"{coordinator_address!r} is ignored and this process runs "
+            "single-process. Call initialize_distributed() before any "
+            "jax device use.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return False
 
     jax.distributed.initialize(

@@ -13,6 +13,8 @@ from .models.phase import (
     pdm_scan,
     string_length_batch,
     string_length_scan,
+    string_length_scan_fast,
+    string_length_approx_scan,
 )
 
 __all__ = [
@@ -23,6 +25,8 @@ __all__ = [
     "GregoryLoredo",
     "gregory_loredo_scan",
     "string_length_scan",
+    "string_length_scan_fast",
+    "string_length_approx_scan",
     "pdm_scan",
     "pdm_batch",
     "string_length_batch",

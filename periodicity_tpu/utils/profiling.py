@@ -46,11 +46,15 @@ def timer(label=None, sink=None, sync=True):
             import jax.numpy as jnp
 
             value = result.get("value")
+            read_any = False
             if value is not None:
-                leaves = jax.tree_util.tree_leaves(value)
-                for leaf in leaves:
-                    float(jnp.real(jnp.ravel(jnp.asarray(leaf))[0]))
-            else:
+                for leaf in jax.tree_util.tree_leaves(value):
+                    leaf = jnp.asarray(leaf)
+                    if leaf.size == 0:
+                        continue  # empty leaves have nothing to read back
+                    float(jnp.real(jnp.ravel(leaf)[0]))
+                    read_any = True
+            if not read_any:
                 _TIMER_TICK[0] += 1
                 float(jnp.zeros(()) + _TIMER_TICK[0])
         result["seconds"] = time.perf_counter() - t0

@@ -144,3 +144,78 @@ def test_set_verbosity_importable_and_no_double_handlers():
     assert len(streams) == 1
     assert logger.propagate is False
     set_verbosity("warning")
+
+
+def test_all_estimator_families_emit_log_events(captured_events):
+    """VERDICT r2 item 6: every family logs — WPS/HHT/BGLST/LMD and GP
+    minimize/mcmc included."""
+    rng = np.random.default_rng(1)
+    n = 150
+    t = np.arange(float(n))
+    y = np.sin(2 * np.pi * t / 12.0) + 0.1 * rng.standard_normal(n)
+    sig = TSeries(t, y)
+
+    from periodicity_tpu.decomposition import LMD
+    from periodicity_tpu.spectral import BGLST
+    from periodicity_tpu.timefrequency import HHT, WPS
+    from periodicity_tpu.gp import BrownianGP
+
+    WPS(np.linspace(5.0, 20.0, 8))(sig)
+    HHT(np.linspace(0.0, 0.2, 16), norm_type="hilbert", method="HT")(sig)
+    BGLST()(sig, err=np.full(n, 0.2))
+    LMD(max_iter=2)(sig, max_modes=1)
+    gp = BrownianGP(sig, err=np.full(n, 0.2))
+    gp.minimize(max_steps=3)
+    gp.mcmc(n_walkers=8, n_steps=4, random_seed=0)
+
+    names = [e["event"] for e in captured_events]
+    for expected in ("wps", "hht", "hht_done", "bglst", "lmd", "lmd_done",
+                     "gp_minimize", "gp_minimize_done", "gp_mcmc",
+                     "gp_mcmc_done"):
+        assert expected in names, names
+
+
+def test_george_mcmc_checkpoint_resume(tmp_path):
+    """GeorgeModeler.mcmc mirrors the celerite kill+resume contract: an
+    interrupted checkpointed run resumed with the same arguments yields
+    samples identical to an uninterrupted run (VERDICT r2 item 6)."""
+    from periodicity_tpu.gp import QuasiPeriodicGP
+
+    rng = np.random.default_rng(2)
+    n = 60
+    t = np.arange(float(n))
+    y = np.sin(2 * np.pi * t / 8.0) + 0.1 * rng.standard_normal(n)
+    err = np.full(n, 0.1)
+    qp_full = QuasiPeriodicGP(TSeries(t, y), err)
+    full_samples, _ = qp_full.mcmc(n_walkers=6, n_steps=20, random_seed=3,
+                                   checkpoint_path=str(tmp_path / "a.npz"),
+                                   checkpoint_every=5)
+    full_chain = qp_full.chain.copy()
+
+    # "killed" run: only the first 10 steps, same checkpoint file
+    ckpt = str(tmp_path / "resume.npz")
+    qp_part = QuasiPeriodicGP(TSeries(t, y), err)
+    qp_part.mcmc(n_walkers=6, n_steps=10, random_seed=3,
+                 checkpoint_path=ckpt, checkpoint_every=5)
+    # resume with the full-length arguments
+    qp_res = QuasiPeriodicGP(TSeries(t, y), err)
+    qp_res.mcmc(n_walkers=6, n_steps=20, random_seed=3,
+                checkpoint_path=ckpt, checkpoint_every=5)
+    np.testing.assert_array_equal(qp_res.chain, full_chain)
+
+
+def test_checkpoint_resume_extensionless_path(tmp_path):
+    """A checkpoint_path without '.npz' must RESUME, not silently restart
+    (save_state appends the extension; the probe must match)."""
+    x0 = np.zeros((4, 2)) + np.arange(2)
+    key = jax.random.PRNGKey(0)
+    ckpt = str(tmp_path / "noext")
+    full, _, _ = run_ensemble_checkpointed(_log_prob, x0, key, 20,
+                                           checkpoint_every=5)
+    run_ensemble_checkpointed(_log_prob, x0, key, 10, checkpoint_every=5,
+                              checkpoint_path=ckpt)
+    assert not (tmp_path / "noext").exists()  # saved as noext.npz
+    resumed, _, _ = run_ensemble_checkpointed(_log_prob, x0, key, 20,
+                                              checkpoint_every=5,
+                                              checkpoint_path=ckpt)
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))

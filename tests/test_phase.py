@@ -152,3 +152,41 @@ def test_pdm_and_string_length_batch_match_scan():
             ells[i], np.asarray(string_length_scan(t, ms[i], periods)),
             rtol=1e-10,
         )
+
+
+def test_string_length_fast_exact_top_peak():
+    """The fast (binned + rescoring) path lands the SAME exact minimum as
+    the full exact scan, with the exact value there (VERDICT r2 item 7)."""
+    from periodicity_tpu.phase import (
+        string_length_scan, string_length_scan_fast,
+    )
+
+    for seed, period in ((0, 7.7), (1, 3.3), (2, 13.0)):
+        rng = np.random.default_rng(seed)
+        n = 2000
+        t = np.sort(rng.uniform(0, 200.0, n))
+        y = np.sin(2 * np.pi * t / period) + 0.2 * rng.standard_normal(n)
+        m = (y - y.max()) / (2 * (y.max() - y.min())) + 0.25
+        periods = np.linspace(0.5, 100.0, 20000)
+        exact = np.asarray(string_length_scan(t, m, periods, batch_size=512))
+        fast = np.asarray(
+            string_length_scan_fast(t, m, periods, batch_size=512)
+        )
+        i_ex, i_fa = int(exact.argmin()), int(fast.argmin())
+        assert i_ex == i_fa, (seed, i_ex, i_fa)
+        assert fast[i_fa] == pytest.approx(exact[i_ex], rel=1e-6)
+
+
+def test_string_length_estimator_fast_default():
+    t, y = _sine()
+    sl = StringLength(n_periods=3000)
+    assert sl.method == "fast"
+    ell = sl(TSeries(t, y))
+    best = float(np.asarray(ell.period)[np.argmin(np.asarray(ell.values))])
+    assert best == pytest.approx(7.3, abs=0.2)
+    # exact mode agrees on the best period
+    ell_e = StringLength(n_periods=3000, method="exact")(TSeries(t, y))
+    best_e = float(
+        np.asarray(ell_e.period)[np.argmin(np.asarray(ell_e.values))]
+    )
+    assert best == pytest.approx(best_e, abs=1e-9)

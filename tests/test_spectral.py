@@ -8,20 +8,6 @@ from periodicity_tpu.core import TSeries
 from periodicity_tpu.spectral import GLS
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_caches():
-    """The full suite accumulates ~190 compiled executables by the time
-    this module's Pallas interpret-mode programs compile, which
-    deterministically segfaults the XLA CPU compiler (observed twice at
-    test_gls_pallas_gridder_matches_scatter; the same tests pass in any
-    smaller run). Dropping cached executables at the module boundary
-    keeps the compiler within its happy zone."""
-    import jax
-
-    jax.clear_caches()
-    yield
-
-
 def test_gls_default_frequency_grid():
     t0 = 2.5
     ts = 0.1
