@@ -142,7 +142,11 @@ def config4_phase():
     import jax
     import jax.numpy as jnp
 
-    from periodicity_tpu.models.phase import pdm_scan, string_length_scan
+    from periodicity_tpu.models.phase import (
+        pdm_scan,
+        string_length_scan,
+        string_length_scan_fast,
+    )
 
     n, n_periods = 2000, 100_000
     rng = np.random.default_rng(0)
@@ -151,12 +155,31 @@ def config4_phase():
     periods = np.linspace(0.5, 100.0, n_periods).astype(np.float32)
     tj, yj, pj = jnp.asarray(t), jnp.asarray(y), jnp.asarray(periods)
 
-    pdm_fn = lambda: jax.block_until_ready(pdm_scan(tj, yj, pj, batch_size=512))
-    sl_fn = lambda: jax.block_until_ready(
-        string_length_scan(tj, yj, pj, batch_size=512)
+    # chained data-dependent iterations inside one jit + scalar readback:
+    # on the relay, identical-args calls can be CACHE-SERVED and
+    # block_until_ready does not synchronize (CLAUDE.md), so per-call
+    # timings of a fixed-input kernel measure nothing
+    k = 3
+
+    def chained(scan_fn):
+        @jax.jit
+        def loop(y0):
+            def body(_, carry):
+                y0, acc = carry
+                s = scan_fn(y0)
+                return (y0 + s[0] * 1e-9, acc + jnp.sum(s[:8]))
+
+            return jax.lax.fori_loop(0, k, body, (y0, jnp.float32(0)))[1]
+
+        return _sync_time(lambda: float(loop(yj))) / k
+
+    dt_pdm = chained(lambda y0: pdm_scan(tj, y0, pj, batch_size=512))
+    dt_sl = chained(
+        lambda y0: string_length_scan(tj, y0, pj, batch_size=512)
     )
-    dt_pdm = _sync_time(pdm_fn)
-    dt_sl = _sync_time(sl_fn)
+    dt_slf = chained(
+        lambda y0: string_length_scan_fast(tj, y0, pj, batch_size=512)
+    )
     return {
         "metric": "pdm_trial_periods_per_sec_N2000",
         "value": n_periods / dt_pdm,
@@ -165,6 +188,8 @@ def config4_phase():
             "pdm_sec": dt_pdm,
             "stringlength_sec": dt_sl,
             "stringlength_periods_per_sec": n_periods / dt_sl,
+            "stringlength_fast_sec": dt_slf,
+            "stringlength_fast_periods_per_sec": n_periods / dt_slf,
         },
     }
 
@@ -290,12 +315,6 @@ def config7_gp_scaling():
         ("blocked", blocked, 10_000),
         ("blocked", blocked, 100_000),
     ]
-    if os.environ.get("PERIODICITY_BENCH_1E6"):
-        # the N=1e6 blocked compile is nondeterministically slow on the
-        # relay's remote-compile service (observed: completed in one round
-        # and twice exceeded 40 min later) — opt-in so the suite of record
-        # terminates reliably
-        cases.append(("blocked", blocked, 1_000_000))
     for name, ll_fn, n in cases:
         t = np.sort(rng.uniform(0, 1000.0, n)).astype(np.float32)
         y = (np.sin(2 * np.pi * t / 20.0)
@@ -319,8 +338,45 @@ def config7_gp_scaling():
         points[f"{name}_N{n}"] = {"ms": dt * 1e3, "evals_per_sec": 1.0 / dt}
         print(f"config7 point {name} N={n}: {dt*1e3:.2f} ms",
               file=sys.stderr, flush=True)
-    top = ("blocked_N1000000" if "blocked_N1000000" in points
-           else "blocked_N100000")
+
+    # N=1e6 point, ALWAYS recorded (VERDICT r2 item 5): a bounded
+    # subprocess attempts the blocked solver on the ambient backend (the
+    # relay's remote compile is nondeterministically slow — observed
+    # minutes to >50 min — but a persistent compile cache makes any later
+    # round instant after one success); on deadline, the sequence-parallel
+    # sharded solver on an 8-device virtual CPU mesh records the scaling
+    # shape instead.
+    import subprocess
+
+    probe = os.path.join(os.path.dirname(__file__), "_gp1e6_probe.py")
+    deadline = int(os.environ.get("PERIODICITY_BENCH_1E6_DEADLINE", 1500))
+    point_1e6 = None
+    for mode, budget in (("blocked", deadline), ("sharded", 3600)):
+        try:
+            out = subprocess.run(
+                [sys.executable, probe, mode], capture_output=True,
+                text=True, timeout=budget,
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if out.returncode == 0 and line:
+                point_1e6 = json.loads(line[-1])
+                break
+            print(f"config7 1e6 probe {mode} failed rc={out.returncode}:"
+                  f" {out.stderr[-300:]}", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"config7 1e6 probe {mode} exceeded {budget}s",
+                  file=sys.stderr, flush=True)
+    if point_1e6 is not None:
+        key = f"{point_1e6['mode']}_N1000000"
+        points[key] = {
+            "ms": point_1e6["ms"],
+            "evals_per_sec": point_1e6["evals_per_sec"],
+            "platform": point_1e6["platform"],
+        }
+        top = key
+    else:
+        top = "blocked_N100000"
     return {
         "metric": f"celerite_logL_evals_per_sec_{top.split('_N')[1]}",
         "value": points[top]["evals_per_sec"],

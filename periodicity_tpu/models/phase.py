@@ -108,27 +108,40 @@ def string_length_approx_scan(t, m, periods, batch_size=512):
     return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
 
 
-@partial(jax.jit, static_argnames=("refine_top", "batch_size"))
-def string_length_scan_fast(t, m, periods, refine_top=None, batch_size=512):
-    """String lengths with exact minima at reduced sort cost.
+@partial(jax.jit, static_argnames=("refine_top", "batch_size", "subsample"))
+def string_length_scan_fast(t, m, periods, refine_top=None, batch_size=512,
+                            subsample=2):
+    """String lengths with exact minima at a fraction of the sort cost.
 
-    Scores every trial period with the packed single-key quantized sort,
-    then rescores the ``refine_top`` most promising periods (smallest
-    approximate lengths; default max(64, P//100)) with the exact
-    two-operand-sort kernel. Minima are what the statistic is for
-    (reference phase.py:45-51 takes the best period from them), so the
-    returned periodogram is EXACT at every candidate minimum and within
-    quantization error (~1e-2 absolute) elsewhere. Use
+    Candidate generation scores every trial period with the packed
+    single-key quantized sort over every ``subsample``-th sample (the
+    bitonic sort is the cost and scales super-linearly in N: half-N
+    measured 2.1x faster per period on v5e); the ``refine_top`` most
+    promising periods (smallest subsampled lengths; default
+    max(64, P//100)) are then rescored with the exact full-N two-operand
+    kernel (default max(64, P//100) * subsample — the subsampled
+    statistic's noisier ranking gets a proportionally wider rescoring
+    net). Minima are what the statistic is for (reference
+    phase.py:45-51 takes the best period from them), so the returned
+    periodogram is EXACT at every candidate minimum; elsewhere it holds
+    ``subsample *`` the subsampled statistic — an estimate that is
+    conservative near minima (where the folded curve is smooth, the
+    scaled subsample string over-states the full one, so an un-rescored
+    period cannot undercut the rescored true minimum) and ~unbiased at
+    non-periods (random-order segments add linearly in N). Use
+    ``subsample=1`` for quantization-only error everywhere, or
     :func:`string_length_scan` when every value must be exact.
     """
+    t = jnp.asarray(t)
+    m = jnp.asarray(m)
     periods = jnp.asarray(periods)
     p = periods.shape[0]
     if refine_top is None:
-        refine_top = max(64, p // 100)
+        refine_top = max(64, p // 100) * subsample
     refine_top = min(refine_top, p)
     approx = string_length_approx_scan(
-        t, m, periods, batch_size=batch_size
-    )
+        t[::subsample], m[::subsample], periods, batch_size=batch_size
+    ) * subsample
     _, idx = jax.lax.top_k(-approx, refine_top)
     exact = string_length_scan(
         t, m, periods[idx], batch_size=min(batch_size, refine_top)

@@ -55,6 +55,38 @@ def _two_prod(a, b):
     return p, err
 
 
+def _phase_factor(a, b, dtype, cdtype):
+    """exp(2*pi*i * a * b) with the product reduced mod 1 in compensated
+    arithmetic. In float32 a plain ``exp(2j*pi*(a*b))`` loses
+    ``eps * |a*b|`` CYCLES of phase (tmin * fmax easily reaches 1e3-1e6
+    cycles, i.e. 1e-4..1e-1 rad of error feeding straight into the
+    periodogram); the Dekker two-product recovers the rounding term and
+    fmod is exact, so the reduced phase is accurate to ~1e-7 rad
+    regardless of magnitude. ``a`` scalar, ``b`` scalar or array (values
+    exactly representable products, e.g. fmin, df*j, trel)."""
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    p, e = _two_prod(a, b)
+    frac = (p % 1.0) + e
+    ang = (2 * jnp.pi) * frac
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(cdtype)
+
+
+def _grid_rotation(tmin, df, fmin, nf, dtype, cdtype):
+    """Post-rotation exp(2*pi*i * tmin * (fmin + df*j)) for j < nf with
+    compensated mod-1 phase: tmin*fmin and (tmin*df)*j each go through
+    the two-product reduction, so the f32 fast path keeps rotation phases
+    accurate over arbitrarily long baselines/grids."""
+    j = jnp.arange(nf, dtype=dtype)
+    tmin = jnp.asarray(tmin, dtype)
+    h1, l1 = _two_prod(tmin, jnp.asarray(fmin, dtype))
+    h2, l2 = _two_prod(tmin, jnp.asarray(df, dtype))
+    p, e = _two_prod(h2, j)
+    frac = (p % 1.0) + ((h1 % 1.0) + (e + (l1 + l2 * j)))
+    ang = (2 * jnp.pi) * frac
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(cdtype)
+
+
 def _extirpolate_weights(trel, df, nfft, dtype, taps=4):
     """Positions + ``taps``-point Lagrange weights for scattering samples
     onto the oversampled grid. Returns (inds [N,taps], lagrange [N,taps]).
@@ -159,7 +191,7 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
     t = t.astype(dtype)
     tmin = jnp.min(t)
     trel = t - tmin
-    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    rot = _phase_factor(fmin, trel, dtype, cdtype)
     u = (w1.astype(dtype) + 1j * w2.astype(dtype)).astype(cdtype) * rot
     inds, lag = _extirpolate_weights(trel, df, nfft, dtype, taps=taps)
     grid_re, grid_im = _grid_planes(u, inds, lag, nfft, gridder)
@@ -170,8 +202,7 @@ def trig_sum_pair(t, w1, w2, df, nf, fmin, nfft=None, n=5, q=1,
     back = jnp.flip(jnp.conj(G[nfft - q - nf + 1 : nfft - q + 1]))
     G1 = 0.5 * (G[:nf] + back)
     G2 = -0.5j * (G[:nf] - back)
-    freqs = fmin + df * jnp.arange(nf, dtype=dtype)
-    post = jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))
+    post = _grid_rotation(tmin, df, fmin, nf, dtype, cdtype)
     G1 = G1 * post
     G2 = G2 * post
     return G1.imag, G1.real, G2.imag, G2.real
@@ -229,7 +260,7 @@ def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
     t = t.astype(dtype)
     tmin = jnp.min(t)
     trel = t - tmin
-    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    rot = _phase_factor(fmin, trel, dtype, cdtype)
     u = (w1_rows.astype(dtype) + 1j * w2_rows.astype(dtype)) * rot[None, :]
     gre, gim = _batch_row_grid(u, trel, df, nfft, dtype, taps=taps)
     G = nfft * jnp.fft.ifft(jax.lax.complex(gre, gim), axis=-1)  # [B, nfft]
@@ -238,8 +269,7 @@ def trig_sum_batch_pair(t, w1_rows, w2_rows, df, nf, fmin, nfft=None, n=5,
     )
     G1 = 0.5 * (G[:, :nf] + back)
     G2 = -0.5j * (G[:, :nf] - back)
-    freqs = fmin + df * jnp.arange(nf, dtype=dtype)
-    post = jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))[None, :]
+    post = _grid_rotation(tmin, df, fmin, nf, dtype, cdtype)[None, :]
     G1 = G1 * post
     G2 = G2 * post
     return G1.imag, G1.real, G2.imag, G2.real
@@ -284,14 +314,11 @@ def trig_sum_batch(t, w_rows, df, nf, fmin, nfft=None, n=5, taps=4):
     w_rows = w_rows.astype(dtype)
     tmin = jnp.min(t)
     trel = t - tmin
-    rot = jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    rot = _phase_factor(fmin, trel, dtype, cdtype)
     u = w_rows.astype(cdtype) * rot[None, :]
     gre, gim = _batch_row_grid(u, trel, df, nfft, dtype, taps=taps)
     fftgrid = jnp.fft.ifft(jax.lax.complex(gre, gim), axis=-1)[:, :nf]
-    freqs = fmin + df * jnp.arange(nf, dtype=dtype)
-    fftgrid = fftgrid * jnp.exp(
-        2j * jnp.pi * (tmin * freqs).astype(cdtype)
-    )[None, :]
+    fftgrid = fftgrid * _grid_rotation(tmin, df, fmin, nf, dtype, cdtype)[None, :]
     return nfft * fftgrid.imag, nfft * fftgrid.real
 
 
@@ -320,7 +347,7 @@ def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter", taps=4):
     w = w.astype(dtype)
     tmin = jnp.min(t)
     trel = t - tmin
-    wc = w.astype(cdtype) * jnp.exp(2j * jnp.pi * (fmin * trel).astype(cdtype))
+    wc = w.astype(cdtype) * _phase_factor(fmin, trel, dtype, cdtype)
     inds, lagrange = _extirpolate_weights(trel, df, nfft, dtype, taps=taps)
     # the real/imag planes are gridded separately and the complex grid
     # formed just before the FFT: a complex64 scatter feeding an FFT
@@ -328,8 +355,7 @@ def trig_sum(t, w, df, nf, fmin, nfft=None, n=5, gridder="scatter", taps=4):
     # docs/performance.md)
     grid_re, grid_im = _grid_planes(wc, inds, lagrange, nfft, gridder)
     fftgrid = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im))[:nf]
-    freqs = fmin + df * jnp.arange(nf, dtype=dtype)
-    fftgrid = fftgrid * jnp.exp(2j * jnp.pi * (tmin * freqs).astype(cdtype))
+    fftgrid = fftgrid * _grid_rotation(tmin, df, fmin, nf, dtype, cdtype)
     C = nfft * fftgrid.real
     S = nfft * fftgrid.imag
     return S, C

@@ -161,11 +161,13 @@ def test_string_length_fast_exact_top_peak():
         string_length_scan, string_length_scan_fast,
     )
 
-    for seed, period in ((0, 7.7), (1, 3.3), (2, 13.0)):
+    for seed, period, noise in (
+        (0, 7.7, 0.2), (1, 3.3, 0.2), (2, 13.0, 0.2), (3, 7.7, 0.5),
+    ):
         rng = np.random.default_rng(seed)
         n = 2000
         t = np.sort(rng.uniform(0, 200.0, n))
-        y = np.sin(2 * np.pi * t / period) + 0.2 * rng.standard_normal(n)
+        y = np.sin(2 * np.pi * t / period) + noise * rng.standard_normal(n)
         m = (y - y.max()) / (2 * (y.max() - y.min())) + 0.25
         periods = np.linspace(0.5, 100.0, 20000)
         exact = np.asarray(string_length_scan(t, m, periods, batch_size=512))
