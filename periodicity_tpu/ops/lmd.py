@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from . import peaks as _peaks
+from .spline import _interval_index
 
 __all__ = ["lmd_sift", "lmd_iter"]
 
@@ -105,7 +106,7 @@ def _zoh_dense(q, vals, count, ne):
     q0 = q[0]
     j = jnp.arange(ne, dtype=jnp.int32)
     i = q0 + j
-    k = jnp.searchsorted(q, i, side="left")
+    k = _interval_index(q, i, side="left")
     k = jnp.clip(k, 1, jnp.maximum(count - 1, 1))
     m_dense = q[jnp.clip(count - 1, 0, q.shape[0] - 1)] - q0 + 1
     return vals[k], m_dense

@@ -31,6 +31,60 @@ __all__ = [
 ]
 
 
+def tridiagonal_solve_pcr(lower, diag, upper, rhs):
+    """Parallel cyclic reduction: O(log n) DEPTH tridiagonal solve.
+
+    The Thomas scan below is O(n) *sequential* steps — under ``jit`` on TPU
+    each step is a tiny dependent op, and under ``vmap`` (the EMD ensemble /
+    batched-HHT axes) the lock-stepped scan keeps the VPU almost idle. PCR
+    instead eliminates the couplings to rows ``i +- 2^k`` level by level:
+    every level is a handful of full-width elementwise ops + two static
+    shifts, so depth is ``ceil(log2 n)`` and vmapped batches vectorize
+    across the whole lane width. Out-of-range neighbours are modelled as
+    identity rows (a=c=0, b=1, d=0), which is exactly how the masked spline
+    system pads beyond ``count`` — padding stays inert.
+
+    Numerically exact (up to roundoff ordering) for the diagonally dominant
+    systems the spline formulation produces; parity with the Thomas scan is
+    tested at 1e-12 (f64) on random well-conditioned systems.
+
+    All inputs [n]; lower[0], upper[-1] ignored.
+    """
+    n = diag.shape[0]
+    dt = diag.dtype
+    a = jnp.concatenate([jnp.zeros((1,), dt), lower[1:]])
+    c = jnp.concatenate([upper[:-1], jnp.zeros((1,), dt)])
+    b = diag
+    d = rhs
+
+    def shift_up(v, s, fill):
+        # v[i - s] with identity-row fill for i < s
+        return jnp.concatenate([jnp.full((s,), fill, dt), v[: n - s]])
+
+    def shift_dn(v, s, fill):
+        # v[i + s] with identity-row fill for i >= n - s
+        return jnp.concatenate([v[s:], jnp.full((s,), fill, dt)])
+
+    s = 1
+    while s < n:
+        a_u = shift_up(a, s, 0.0)
+        b_u = shift_up(b, s, 1.0)
+        c_u = shift_up(c, s, 0.0)
+        d_u = shift_up(d, s, 0.0)
+        a_d = shift_dn(a, s, 0.0)
+        b_d = shift_dn(b, s, 1.0)
+        c_d = shift_dn(c, s, 0.0)
+        d_d = shift_dn(d, s, 0.0)
+        alpha = -a / b_u
+        beta = -c / b_d
+        a = alpha * a_u
+        c = beta * c_d
+        b = b + alpha * c_u + beta * a_d
+        d = d + alpha * d_u + beta * d_d
+        s *= 2
+    return d / b
+
+
 def tridiagonal_solve(lower, diag, upper, rhs):
     """Thomas algorithm via lax.scan. All inputs [n]; lower[0], upper[-1] ignored."""
     n = diag.shape[0]
@@ -54,6 +108,19 @@ def tridiagonal_solve(lower, diag, upper, rhs):
 
     _, xs = jax.lax.scan(bwd, jnp.zeros_like(rhs[0]), (cp, dp), reverse=True)
     return xs
+
+
+# below this static size the two Thomas scans are shallow enough that PCR's
+# ~2x arithmetic buys nothing; above it PCR's log-depth dominates (the EMD
+# sift capacity n//2+2 is ~1e3 for typical light curves — 11 PCR levels vs
+# 2052 dependent scan steps, and vmapped ensembles vectorize across lanes)
+_PCR_MIN_SIZE = 32
+
+
+def _solve_tridiag(lower, diag, upper, rhs):
+    if diag.shape[0] >= _PCR_MIN_SIZE:
+        return tridiagonal_solve_pcr(lower, diag, upper, rhs)
+    return tridiagonal_solve(lower, diag, upper, rhs)
 
 
 def spline_derivatives(x, y, count=None):
@@ -100,7 +167,7 @@ def spline_derivatives(x, y, count=None):
         upper = upper.at[0].set(d0)
         lower = lower.at[-1].set(dn)
         rhs = rhs.at[0].set(b0).at[-1].set(bn)
-        return tridiagonal_solve(lower, diag, upper, rhs)
+        return _solve_tridiag(lower, diag, upper, rhs)
 
     # masked variant: valid knots are x[0:count]
     c = count
@@ -122,7 +189,25 @@ def spline_derivatives(x, y, count=None):
     diag = jnp.where(is_last, dx_m, jnp.where(pad, 1.0, diag))
     upper = jnp.where(is_last | pad, 0.0, upper)
     rhs = jnp.where(is_last, bn, jnp.where(pad, 0.0, rhs))
-    return tridiagonal_solve(lower, diag, upper, rhs)
+    return _solve_tridiag(lower, diag, upper, rhs)
+
+
+# searchsorted on TPU lowers to a log2(K)-round binary-search gather chain
+# (measured 1.4 ms above the loop floor at K~1e3, M~2e3, B=8 inside the EMD
+# sift, where it was the single hottest op); a brute-force comparison-sum
+# `sum(x[j] <= q)` fuses into one full-width compare+reduce and measures AT
+# the loop floor. Quadratic in problem size, so only used while M*K stays
+# small; large single-shot interpolations keep searchsorted.
+_CMPSUM_MAX_ELEMS = 1 << 26
+
+
+def _interval_index(x, q, side="right"):
+    """``searchsorted(x, q, side)``: #{j : x[j] <= q} (right) / < q (left)."""
+    if q.ndim == 1 and x.shape[0] * q.shape[0] <= _CMPSUM_MAX_ELEMS:
+        if side == "right":
+            return jnp.sum(x[None, :] <= q[:, None], axis=1)
+        return jnp.sum(x[None, :] < q[:, None], axis=1)
+    return jnp.searchsorted(x, q, side=side)
 
 
 def spline_eval(x, y, s, xnew, count=None):
@@ -132,7 +217,7 @@ def spline_eval(x, y, s, xnew, count=None):
     knot count (padding entries of x must be increasing).
     """
     k = x.shape[0]
-    hi = jnp.searchsorted(x, xnew, side="right")
+    hi = _interval_index(x, xnew)
     if count is None:
         i = jnp.clip(hi - 1, 0, k - 2)
     else:
@@ -165,9 +250,7 @@ def _quadratic_bspline_basis(knots, x):
     denominators.
     """
     n_knots = knots.shape[0]
-    ind = jnp.clip(
-        jnp.searchsorted(knots, x, side="right") - 1, 2, n_knots - 4
-    )
+    ind = jnp.clip(_interval_index(knots, x) - 1, 2, n_knots - 4)
 
     def basis_step(bs, degree):
         # bs[r] = B[ind - degree + 1 + r, degree - 1], r < degree
@@ -214,7 +297,7 @@ def quadratic_spline_interp(x, y, xnew):
     lower = jnp.sum(jnp.where(offs == -1, basis, 0.0), axis=1)
     diag = jnp.sum(jnp.where(offs == 0, basis, 0.0), axis=1)
     upper = jnp.sum(jnp.where(offs == 1, basis, 0.0), axis=1)
-    coefs = tridiagonal_solve(lower, diag, upper, y)
+    coefs = _solve_tridiag(lower, diag, upper, y)
     j0n, basis_n = _quadratic_bspline_basis(knots, xnew)
     cols = j0n[:, None] + jnp.arange(3)[None, :]
     return jnp.sum(coefs[jnp.clip(cols, 0, n - 1)] * basis_n, axis=1)

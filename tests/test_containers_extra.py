@@ -374,3 +374,44 @@ def test_weighted_smoothing_spline_fitpack_criterion():
             smoothing_spline_interp(xs, ys, xs, s=0.05)
         )
         assert np.isfinite(out).all()
+
+
+def test_tridiagonal_pcr_matches_thomas_and_scipy():
+    """The O(log n)-depth parallel-cyclic-reduction solve == the Thomas
+    scan at machine precision (random diagonally dominant systems, both
+    dtypes' solve paths), and the spline built on it still matches
+    scipy splrep/splev — including through the masked fixed-capacity
+    variant the EMD sift uses."""
+    from scipy.interpolate import splev, splrep
+
+    from periodicity_tpu.ops.spline import (
+        spline_interp,
+        tridiagonal_solve,
+        tridiagonal_solve_pcr,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (5, 32, 100, 1026, 2048):
+        lower = rng.uniform(0.5, 2.0, n)
+        diag = 4.0 + rng.uniform(0, 1, n)
+        upper = rng.uniform(0.5, 2.0, n)
+        rhs = rng.standard_normal(n)
+        x_thomas = np.asarray(tridiagonal_solve(lower, diag, upper, rhs))
+        x_pcr = np.asarray(tridiagonal_solve_pcr(lower, diag, upper, rhs))
+        np.testing.assert_allclose(x_pcr, x_thomas, atol=1e-12)
+
+    x = np.sort(rng.uniform(0, 10, 300))
+    y = np.sin(x) + 0.1 * rng.standard_normal(300)
+    xn = np.linspace(-0.5, 10.5, 700)
+    ours = np.asarray(spline_interp(x, y, xn))
+    ref = splev(xn, splrep(x, y, s=0))
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+    cap, cnt = 128, 90
+    xk = np.sort(rng.uniform(0, 10, cnt))
+    yk = np.cos(xk)
+    xp = np.concatenate([xk, xk[-1] + 1 + np.arange(cap - cnt)])
+    yp = np.concatenate([yk, np.zeros(cap - cnt)])
+    o = np.asarray(spline_interp(xp, yp, xn, count=cnt))
+    r = splev(xn, splrep(xk, yk, s=0))
+    np.testing.assert_allclose(o, r, atol=1e-9)
