@@ -475,6 +475,44 @@ def config9_hht_batch():
     }
 
 
+def config10_ceemdan():
+    """CEEMDAN two-tone decomposition, ensemble_size=50 (the reference
+    fans the ensemble over a multiprocessing Pool, decomposition.py:277;
+    here the whole ensemble is ONE vmap — SURVEY §2.2 row P2). Seconds per
+    full decomposition; sifting is data-dependent so each repetition uses
+    a fresh perturbed input (identical-args calls can be cache-served on
+    the relay)."""
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.decomposition import CEEMDAN
+
+    n = 1024
+    t = np.linspace(0.0, 2.0, n)
+    rng = np.random.default_rng(0)
+    base = np.sin(2 * np.pi * 40.0 * t) + 0.6 * np.sin(2 * np.pi * 5.0 * t)
+
+    def run(y):
+        dec = CEEMDAN(ensemble_size=50, random_seed=42)
+        modes = dec(y)
+        return len(modes), float(jnp.sum(jnp.abs(modes[0].values)))
+
+    run(base.copy())  # compile
+    times = []
+    for i in range(3):
+        yi = base + 1e-4 * (i + 1) * rng.standard_normal(n)
+        t0 = time.perf_counter()
+        n_modes, _ = run(yi)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return {
+        "metric": "ceemdan_decompositions_per_sec_N1024_E50",
+        "value": 1.0 / dt,
+        "unit": "decompositions/sec",
+        "detail": {"seconds_per_run": dt, "ensemble_size": 50,
+                   "n_modes": n_modes},
+    }
+
+
 CONFIGS = {
     1: config1_gls,
     2: config2_acf,
@@ -485,12 +523,13 @@ CONFIGS = {
     7: config7_gp_scaling,
     8: config8_mcmc_throughput,
     9: config9_hht_batch,
+    10: config10_ceemdan,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10")
     args = ap.parse_args()
     for c in [int(x) for x in args.configs.split(",")]:
         if c not in CONFIGS:
