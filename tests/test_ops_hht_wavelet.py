@@ -207,7 +207,7 @@ def test_coiflet_construction_properties():
         -0.01565572813546454, -0.0727326195128539, 0.38486484686420286,
         0.8525720202122554, 0.3378976624578092, -0.0727326195128539,
     ])
-    for K in (1, 2, 3, 4, 5, 8):
+    for K in (1, 2, 3, 4, 5, 8, 9, 12, 17):
         h = np.asarray(wav.scaling_filter(f"coif{K}"))
         L = 6 * K
         assert h.shape == (L,)
@@ -284,7 +284,7 @@ def test_bior_filter_values_and_pr():
 
 def test_coif_bior_perfect_reconstruction_and_denoise():
     rng = np.random.default_rng(4)
-    for fam in ("coif1", "coif3", "coif5"):
+    for fam in ("coif1", "coif3", "coif5", "coif12"):
         x = rng.standard_normal(257)
         rec = np.asarray(wav.waverec(wav.wavedec(x, fam), fam))[:257]
         assert np.max(np.abs(rec - x)) < 1e-9, fam
