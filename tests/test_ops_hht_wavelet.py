@@ -229,6 +229,38 @@ def test_coiflet_construction_properties():
     )
 
 
+def test_discrete_meyer_filter():
+    """dmey: 62 symmetric taps (zero-prepended integer-centered Meyer),
+    sum sqrt(2), near-orthonormal to the documented ~1e-5 truncation
+    floor, Meyer passband/stopband, and near-PR wavedec/waverec."""
+    h = np.asarray(wav.scaling_filter("dmey"))
+    assert h.shape == (62,)
+    assert h[0] == 0.0
+    np.testing.assert_allclose(h[1:], h[1:][::-1], atol=1e-15)
+    assert abs(h.sum() - np.sqrt(2)) < 1e-4
+    assert abs(h[31] - 0.74375) < 1e-3  # classical dmey center tap
+    for k in range(31):
+        tgt = 1.0 if k == 0 else 0.0
+        assert abs(np.dot(h[: 62 - 2 * k], h[2 * k:]) - tgt) < 2e-5
+    Hw = np.abs(np.fft.fft(h, 4096))
+    assert abs(Hw[0] - np.sqrt(2)) < 1e-4          # DC
+    assert Hw[2048] < 1e-4                          # Nyquist
+    assert np.all(Hw[: 4096 // 6] > np.sqrt(2) - 1e-3)  # flat |w|<=pi/3
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(512)
+    rec = np.asarray(wav.waverec(wav.wavedec(x, "dmey"), "dmey"))[:512]
+    assert np.max(np.abs(rec - x)) < 5e-4  # documented ~4e-5/level floor
+    t = np.linspace(0, 1, 512)
+    clean = np.sin(2 * np.pi * 5 * t)
+    noisy = clean + 0.3 * rng.standard_normal(512)
+    den = np.asarray(
+        wav.dwt_denoise(
+            jnp.asarray(noisy), 0.3 * np.sqrt(2 * np.log(512)), family="dmey"
+        )
+    )
+    assert np.std(den - clean) < 0.7 * np.std(noisy - clean)
+
+
 def test_bior_filter_values_and_pr():
     """bior2.2 is the CDF 5/3 pair (exact published values); every
     bior/rbio family perfectly reconstructs through multi-level

@@ -91,6 +91,17 @@ def test_denoise_reduces_noise():
     # pure noise is almost entirely suppressed (VisuShrink property)
     pure = 0.3 * rng.standard_normal(1024)
     assert np.std(denoise(pure, sigma=0.3)) < 0.25 * np.std(pure)
+    # sigma=None estimates the noise level via MAD on the finest detail
+    # band (the reference TypeErrors here — documented divergence);
+    # the estimate must land close to the explicit-sigma result
+    den_auto = denoise(noisy)
+    assert np.std(den_auto - clean) < 0.8 * np.std(noisy - clean)
+    np.testing.assert_allclose(
+        np.std(np.asarray(den_auto) - np.asarray(den)), 0.0, atol=0.05
+    )
+    # and with the discrete Meyer family through the model-layer API
+    den_dmey = denoise(noisy, family="dmey")
+    assert np.std(den_dmey - clean) < 0.8 * np.std(noisy - clean)
 
 
 def test_wps_batch_matches_single():
