@@ -92,6 +92,35 @@ class Signal:
     def dtype(self):
         return self._values.dtype
 
+    @property
+    def coords(self):
+        """dims -> coordinate arrays (reference core.py:72-74)."""
+        return dict(zip(self.dims, self._coord_arrays()))
+
+    @property
+    def index(self):
+        """Same mapping as :attr:`coords`: every coordinate here is an
+        index coordinate (the reference core.py:90-92 filters xarray
+        IndexVariables; this library has no non-index coordinates)."""
+        return self.coords
+
+    def get_axis(self, dim):
+        """Positional axis of the named dimension (reference
+        core.py:76-80)."""
+        try:
+            return self.dims.index(dim)
+        except ValueError:
+            raise ValueError(f"{dim} not found in {self.dims}.") from None
+
+    def from_xray(self, result):
+        """Build a same-type container from an xarray.DataArray-like
+        object — duck-typed on ``.dims``/``.values``/``.coords[d].values``
+        so xarray itself is not required (reference core.py:147-148)."""
+        kwargs = {d: np.asarray(result.coords[d].values) for d in result.dims}
+        new = type(self)(values=np.asarray(result.values), **kwargs)
+        new.attrs.update(dict(getattr(result, "attrs", {}) or {}))
+        return new
+
     def copy(self):
         new = self._replace_data(self._values)
         new.attrs.update(self.attrs)
@@ -520,6 +549,23 @@ def _register_array_funcs():
 
 
 _register_array_funcs()
+
+
+def full_like(signal, fill_value, **kwargs):
+    """Same-type container filled with ``fill_value`` (reference
+    core.py:38-40; also reachable as ``np.full_like(signal, v)`` through
+    the numpy function protocol)."""
+    return Signal._ARRAY_FUNCS["full_like"](signal, fill_value, **kwargs)
+
+
+def zeros_like(signal, **kwargs):
+    """Reference core.py:43-45; also ``np.zeros_like(signal)``."""
+    return Signal._ARRAY_FUNCS["zeros_like"](signal, **kwargs)
+
+
+def ones_like(signal, **kwargs):
+    """Reference core.py:48-50; also ``np.ones_like(signal)``."""
+    return Signal._ARRAY_FUNCS["ones_like"](signal, **kwargs)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -444,6 +444,15 @@ class GeorgeModeler:
         var = self._kernel_value(theta, jnp.zeros(1))[0] - jnp.sum(Ks * v.T, axis=1)
         return mu, jnp.sqrt(var)
 
+    def set_params(self, theta, gp=None):
+        """Apply a hyperparameter vector (reference gp.py:208-211 sets
+        the vector on a george GP object and recomputes; this modeler is
+        stateless, so the vector becomes the default theta used by
+        get_prediction/get_kernel and the modeler itself plays the gp
+        role in the return value)."""
+        self.theta0 = jnp.asarray(theta)
+        return self
+
     def get_prediction(self, time, theta=None):
         """Conditional mean and sd at new times (reference gp.py:213-216)."""
         if theta is None:

@@ -415,3 +415,59 @@ def test_tridiagonal_pcr_matches_thomas_and_scipy():
     o = np.asarray(spline_interp(xp, yp, xn, count=cnt))
     r = splev(xn, splrep(xk, yk, s=0))
     np.testing.assert_allclose(o, r, atol=1e-9)
+
+
+def test_coords_index_get_axis_from_xray():
+    """coords/index/get_axis/from_xray parity (reference core.py:72-148)
+    and the module-level full/zeros/ones_like helpers (core.py:38-50)."""
+    import types
+
+    from periodicity_tpu.core import full_like, ones_like, zeros_like
+
+    t = np.arange(8.0)
+    ts = TSeries(t, t**2)
+    assert list(ts.coords) == ["time"]
+    np.testing.assert_array_equal(np.asarray(ts.coords["time"]), t)
+    assert list(ts.index) == ["time"]
+    assert ts.get_axis("time") == 0
+    with pytest.raises(ValueError, match="not found"):
+        ts.get_axis("frequency")
+    tfs = TFSeries(time=t, frequency=np.arange(3.0) + 1, values=np.ones((3, 8)))
+    assert tfs.get_axis("frequency") == 0 and tfs.get_axis("time") == 1
+    assert set(tfs.coords) == {"frequency", "time"}
+
+    # from_xray: duck-typed DataArray-like
+    coord = types.SimpleNamespace(values=t)
+    xr_like = types.SimpleNamespace(
+        dims=("time",),
+        values=np.sin(t),
+        coords={"time": coord},
+        attrs={"unit": "mag"},
+    )
+    rebuilt = ts.from_xray(xr_like)
+    assert isinstance(rebuilt, TSeries)
+    np.testing.assert_array_equal(np.asarray(rebuilt.values), np.sin(t))
+    assert rebuilt.attrs["unit"] == "mag"
+
+    filled = full_like(ts, 7.0)
+    assert isinstance(filled, TSeries)
+    assert np.all(np.asarray(filled.values) == 7.0)
+    assert np.all(np.asarray(zeros_like(ts).values) == 0.0)
+    assert np.all(np.asarray(ones_like(ts).values) == 1.0)
+    # and through the numpy protocol
+    assert np.all(np.asarray(np.full_like(ts, 3.0).values) == 3.0)
+
+
+def test_george_set_params():
+    from periodicity_tpu.gp import QuasiPeriodicGP
+
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 30, 60))
+    y = np.sin(2 * np.pi * t / 5.0) + 0.1 * rng.standard_normal(60)
+    m = QuasiPeriodicGP(TSeries(t, y), err=np.full(60, 0.1))
+    theta = np.asarray(m.theta0) + 0.05
+    out = m.set_params(theta, None)
+    assert out is m
+    np.testing.assert_allclose(np.asarray(m.theta0), theta)
+    mu, sd = m.get_prediction(t[:5])
+    assert np.all(np.isfinite(np.asarray(mu))) and np.all(np.asarray(sd) > 0)
