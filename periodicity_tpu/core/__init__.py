@@ -6,7 +6,9 @@ from .containers import (
     TFSeries,
     TSeries,
     full_like,
+    implements,
     ones_like,
+    wrap_reduce,
     zeros_like,
 )
 
@@ -18,4 +20,6 @@ __all__ = [
     "full_like",
     "zeros_like",
     "ones_like",
+    "implements",
+    "wrap_reduce",
 ]

@@ -112,13 +112,18 @@ class Signal:
         except ValueError:
             raise ValueError(f"{dim} not found in {self.dims}.") from None
 
-    def from_xray(self, result):
+    def from_xray(self, xray, **kwargs):
         """Build a same-type container from an xarray.DataArray-like
         object — duck-typed on ``.dims``/``.values``/``.coords[d].values``
-        so xarray itself is not required (reference core.py:147-148)."""
-        kwargs = {d: np.asarray(result.coords[d].values) for d in result.dims}
-        new = type(self)(values=np.asarray(result.values), **kwargs)
-        new.attrs.update(dict(getattr(result, "attrs", {}) or {}))
+        so xarray itself is not required (reference core.py:147-148,
+        496-502, 904-910). 0-d input degrades to a python scalar;
+        extra kwargs (e.g. ``assume_sorted``) forward to the
+        constructor."""
+        if getattr(xray, "ndim", None) == 0:
+            return xray.item()
+        coords = {d: np.asarray(xray.coords[d].values) for d in xray.dims}
+        new = type(self)(values=np.asarray(xray.values), **coords, **kwargs)
+        new.attrs.update(dict(getattr(xray, "attrs", {}) or {}))
         return new
 
     def copy(self):
@@ -502,6 +507,45 @@ class Signal:
             index=np.asarray(coords[0]),
             columns=np.asarray(coords[1]),
         )
+
+
+def implements(numpy_function):
+    """Register an ``__array_function__`` implementation for Signal
+    objects (reference core.py:13-20) — the public extension point for
+    teaching numpy-protocol functions about these containers. The
+    implementation is keyed by the numpy function's name."""
+
+    def decorator(func):
+        Signal._ARRAY_FUNCS[numpy_function.__name__] = func
+        return func
+
+    return decorator
+
+
+def wrap_reduce(func):
+    """Lift a raw-array reduction into a Signal-aware one (reference
+    core.py:23-35): a named ``dim`` translates to the positional axis,
+    full reductions return scalars, shape-preserving results rewrap in
+    the same container, and single-axis reductions of 2-D containers
+    wrap with the surviving coordinate."""
+
+    def wrapped_func(signal, dim=None, **kwargs):
+        if dim is not None:
+            kwargs["axis"] = signal.get_axis(dim)
+        axis = kwargs.pop("axis", None)
+        if axis is None:
+            result = func(signal.values, **kwargs)
+            if jnp.ndim(result) == 0:
+                return _scalar(result)
+            if jnp.shape(result) == signal.shape:
+                return signal._replace_data(result)
+            return result
+        result = func(signal.values, axis=axis, **kwargs)
+        if jnp.shape(result) == signal.shape:
+            return signal._replace_data(result)
+        return signal._wrap_reduced(axis % signal.ndim, result)
+
+    return wrapped_func
 
 
 def _register_array_funcs():

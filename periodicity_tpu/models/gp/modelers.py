@@ -454,16 +454,24 @@ class GeorgeModeler:
         return self
 
     def get_prediction(self, time, theta=None):
-        """Conditional mean and sd at new times (reference gp.py:213-216)."""
+        """Conditional mean and sd at new times (reference gp.py:213-216).
+        ``theta`` may be a hyperparameter vector, None (use the stored
+        default), or — matching the reference's ``gp`` positional call
+        pattern via :meth:`set_params` — another modeler instance."""
         if theta is None:
             theta = self.theta0
+        elif isinstance(theta, GeorgeModeler):
+            theta = theta.theta0
         mu, sd = self.predict(theta, time, return_var=True)
         return mu, sd
 
     def get_kernel(self, tau, theta=None):
-        """Kernel values at lags tau (reference gp.py:218-219)."""
+        """Kernel values at lags tau (reference gp.py:218-219); accepts
+        the same theta/None/modeler argument as :meth:`get_prediction`."""
         if theta is None:
             theta = self.theta0
+        elif isinstance(theta, GeorgeModeler):
+            theta = theta.theta0
         return self._kernel_value(jnp.asarray(theta), jnp.asarray(tau))
 
     def mcmc(self, n_walkers=50, n_steps=1000, burn=0, random_seed=None,

@@ -471,3 +471,50 @@ def test_george_set_params():
     np.testing.assert_allclose(np.asarray(m.theta0), theta)
     mu, sd = m.get_prediction(t[:5])
     assert np.all(np.isfinite(np.asarray(mu))) and np.all(np.asarray(sd) > 0)
+
+
+def test_implements_and_wrap_reduce_extension_points():
+    """implements()/wrap_reduce() public extension points (reference
+    core.py:13-35): register a custom numpy-protocol function and a
+    dim-aware reduction."""
+    from periodicity_tpu.core import implements, wrap_reduce
+
+    t = np.arange(6.0)
+    ts = TSeries(t, np.array([1.0, -2.0, 3.0, -4.0, 5.0, -6.0]))
+
+    @implements(np.ptp)
+    def _ptp(signal, **kw):
+        return float(np.ptp(np.asarray(signal.values), **kw))
+
+    assert np.ptp(ts) == 11.0
+
+    rms = wrap_reduce(lambda v, **kw: np.sqrt(np.mean(np.square(v), **kw)))
+    assert rms(ts) == pytest.approx(np.sqrt(np.mean(ts.values**2)))
+    tfs = TFSeries(time=t, frequency=np.arange(3.0) + 1.0,
+                   values=np.arange(18.0).reshape(3, 6))
+    red = rms(tfs, dim="time")
+    assert type(red).__name__ == "FSeries"
+    np.testing.assert_allclose(
+        np.asarray(red.values),
+        np.sqrt(np.mean(np.arange(18.0).reshape(3, 6) ** 2, axis=1)),
+    )
+
+
+def test_from_xray_zero_d_and_assume_sorted():
+    import types
+
+    t = np.arange(5.0)
+    ts = TSeries(t, t)
+    zero_d = types.SimpleNamespace(ndim=0, item=lambda: 3.5)
+    assert ts.from_xray(zero_d) == 3.5
+    shuffled = types.SimpleNamespace(
+        dims=("time",),
+        ndim=1,
+        values=np.array([2.0, 0.0, 1.0]),
+        coords={"time": types.SimpleNamespace(values=np.array([2.0, 0.0, 1.0]))},
+        attrs={},
+    )
+    out = ts.from_xray(shuffled)  # default sorts by time
+    np.testing.assert_array_equal(np.asarray(out.time), [0.0, 1.0, 2.0])
+    out2 = ts.from_xray(shuffled, assume_sorted=True)
+    np.testing.assert_array_equal(np.asarray(out2.time), [2.0, 0.0, 1.0])
