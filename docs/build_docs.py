@@ -22,6 +22,7 @@ DOCS = pathlib.Path(__file__).resolve().parent
 PAGE_ORDER = [
     ("index", "Overview"),
     ("getting_started", "Getting started"),
+    ("migration", "Migrating from the reference"),
     ("core", "Core containers"),
     ("spectral", "Spectral (GLS, BGLST)"),
     ("phase", "Phase folding"),
