@@ -38,6 +38,7 @@ __all__ = [
     "HHT",
     "CompositeSpectrum",
     "denoise",
+    "denoise_batch",
     "reconstruct",
     "wps_batch",
     "hht_batch",
@@ -179,6 +180,25 @@ def denoise(data, family="db4", sigma=None, detrend=False):
     else:
         threshold = float(sigma) * float(np.sqrt(2.0 * np.log(x.shape[0])))
     return _wav.dwt_denoise(x, threshold, family=family, detrend=detrend)
+
+
+def denoise_batch(batch, family="db4", sigma=None, detrend=False):
+    """Vectorized :func:`denoise` over a stack of equal-length series
+    (rows = light curves) — the P4 batch path for the wavelet family,
+    matching wps_batch/hht_batch. ``sigma`` may be a scalar, a per-row
+    array, or None for per-row MAD estimates; everything runs as one
+    vmapped jitted program."""
+    x = jnp.asarray(batch)
+    if x.ndim != 2:
+        raise ValueError("denoise_batch expects [batch, n] input")
+    if sigma is None:
+        d1 = jax.vmap(lambda xx: _wav.wavedec(xx, family)[-1])(x)
+        sigma = jnp.median(jnp.abs(d1), axis=1) / 0.6745
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (x.shape[0],))
+    thr = sigma * np.sqrt(2.0 * np.log(x.shape[1]))
+    return jax.vmap(
+        lambda xx, th: _wav.dwt_denoise(xx, th, family=family, detrend=detrend)
+    )(x, thr)
 
 
 def reconstruct(coefs, periods, dt, family):

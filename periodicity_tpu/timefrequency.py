@@ -5,6 +5,7 @@ from .models.timefrequency import (
     WPS,
     CompositeSpectrum,
     denoise,
+    denoise_batch,
     reconstruct,
     wps_batch,
     hht_batch,
@@ -15,6 +16,7 @@ __all__ = [
     "HHT",
     "CompositeSpectrum",
     "denoise",
+    "denoise_batch",
     "reconstruct",
     "wps_batch",
     "hht_batch",

@@ -212,3 +212,25 @@ def test_hht_batch_zero_mode_member_has_zero_power():
     assert int(n_modes[1]) == 0
     assert float(np.abs(np.asarray(power[1])).sum()) == 0.0
     assert float(np.abs(np.asarray(power[0])).sum()) > 0.0
+
+
+def test_denoise_batch_matches_single():
+    from periodicity_tpu.timefrequency import denoise_batch
+
+    rng = np.random.default_rng(5)
+    t = np.arange(1024.0)
+    clean = np.stack([np.sin(2 * np.pi * t / p) for p in (100.0, 128.0, 160.0)])
+    batch = clean + 0.25 * rng.standard_normal((3, 1024))
+    # explicit scalar sigma: rows match the single-series path exactly
+    many = np.asarray(denoise_batch(batch, sigma=0.25))
+    for i in range(3):
+        one = np.asarray(denoise(batch[i], sigma=0.25))
+        np.testing.assert_allclose(many[i], one, atol=1e-10)
+    # per-row MAD default improves every row
+    auto = np.asarray(denoise_batch(batch))
+    err_before = np.std(batch - clean, axis=1)
+    err_after = np.std(auto - clean, axis=1)
+    assert (err_after < 0.8 * err_before).all()
+    # per-row sigma array accepted
+    arr = np.asarray(denoise_batch(batch, sigma=np.full(3, 0.25)))
+    np.testing.assert_allclose(arr, many, atol=1e-10)
