@@ -121,8 +121,17 @@ class Signal:
         constructor."""
         if getattr(xray, "ndim", None) == 0:
             return xray.item()
-        coords = {d: np.asarray(xray.coords[d].values) for d in xray.dims}
-        new = type(self)(values=np.asarray(xray.values), **coords, **kwargs)
+        src_dims = tuple(xray.dims)
+        if set(src_dims) != set(self.dims):
+            raise ValueError(
+                f"dims {src_dims} do not match {tuple(self.dims)}"
+            )
+        coords = {d: np.asarray(xray.coords[d].values) for d in src_dims}
+        vals = np.asarray(xray.values)
+        if src_dims != tuple(self.dims):
+            # align the value axes with this container's dim order
+            vals = vals.transpose([src_dims.index(d) for d in self.dims])
+        new = type(self)(values=vals, **coords, **kwargs)
         new.attrs.update(dict(getattr(xray, "attrs", {}) or {}))
         return new
 
@@ -533,17 +542,24 @@ def wrap_reduce(func):
         if dim is not None:
             kwargs["axis"] = signal.get_axis(dim)
         axis = kwargs.pop("axis", None)
+        keepdims = kwargs.get("keepdims", False)
         if axis is None:
             result = func(signal.values, **kwargs)
+            if keepdims and jnp.size(result) == 1:
+                # kept size-1 dims carry no coordinate; degrade to scalar
+                result = jnp.reshape(result, ())
             if jnp.ndim(result) == 0:
                 return _scalar(result)
             if jnp.shape(result) == signal.shape:
                 return signal._replace_data(result)
             return result
+        axis = axis % signal.ndim
         result = func(signal.values, axis=axis, **kwargs)
+        if keepdims and jnp.shape(result)[axis] == 1:
+            result = jnp.squeeze(result, axis=axis)
         if jnp.shape(result) == signal.shape:
             return signal._replace_data(result)
-        return signal._wrap_reduced(axis % signal.ndim, result)
+        return signal._wrap_reduced(axis, result)
 
     return wrapped_func
 

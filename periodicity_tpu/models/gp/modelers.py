@@ -450,7 +450,14 @@ class GeorgeModeler:
         stateless, so the vector becomes the default theta used by
         get_prediction/get_kernel and the modeler itself plays the gp
         role in the return value)."""
-        self.theta0 = jnp.asarray(theta)
+        theta = jnp.asarray(theta)
+        if theta.shape != (self.ndim,):
+            # the reference's set_parameter_vector raises immediately on
+            # length mismatch; match that instead of failing later
+            raise ValueError(
+                f"theta has shape {theta.shape}, expected ({self.ndim},)"
+            )
+        self.theta0 = theta
         return self
 
     def get_prediction(self, time, theta=None):

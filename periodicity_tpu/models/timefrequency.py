@@ -162,6 +162,38 @@ class HHT:
         return tf
 
 
+def _denoise_mad_core(x, family, detrend):
+    """Single traced program: wavedec once, MAD sigma from the finest
+    detail band, soft-threshold, reconstruct."""
+    coefs = _wav.wavedec(x, family)
+    sigma = jnp.median(jnp.abs(coefs[-1])) / 0.6745
+    threshold = sigma * np.sqrt(2.0 * np.log(x.shape[0]))
+    approx = jnp.zeros_like(coefs[0]) if detrend else coefs[0]
+    details = [_wav.soft_threshold(c, threshold) for c in coefs[1:]]
+    return _wav.waverec([approx] + details, family)[: x.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("family", "detrend"))
+def _denoise_mad(x, family="db4", detrend=False):
+    return _denoise_mad_core(x, family, detrend)
+
+
+@partial(jax.jit, static_argnames=("family", "detrend"))
+def _denoise_mad_batch(x, family="db4", detrend=False):
+    return jax.vmap(lambda xx: _denoise_mad_core(xx, family, detrend))(x)
+
+
+@partial(jax.jit, static_argnames=("family", "detrend"))
+def _denoise_batch_fixed(x, thresholds, family="db4", detrend=False):
+    return jax.vmap(
+        lambda xx, th: _wav.dwt_denoise(xx, th, family=family, detrend=detrend)
+    )(x, thresholds)
+
+
+def _as_float(x):
+    return x.astype(jnp.result_type(x.dtype, jnp.float32))
+
+
 def denoise(data, family="db4", sigma=None, detrend=False):
     """Soft-threshold DWT denoising with the universal (VisuShrink)
     threshold sigma * sqrt(2 ln N), optionally zeroing the approximation
@@ -171,14 +203,12 @@ def denoise(data, family="db4", sigma=None, detrend=False):
     Deliberate divergence: the reference raises TypeError when ``sigma``
     is omitted (``None * np.sqrt(...)``); here ``sigma=None`` estimates
     the noise level on-device with Donoho's MAD rule on the finest
-    detail band, sigma = median(|d1|) / 0.6745."""
-    x = jnp.asarray(data)
+    detail band, sigma = median(|d1|) / 0.6745 — computed inside the
+    same jitted program (the decomposition is done once)."""
+    x = _as_float(jnp.asarray(data))
     if sigma is None:
-        d1 = _wav.wavedec(x, family)[-1]
-        sigma = jnp.median(jnp.abs(d1)) / 0.6745
-        threshold = sigma * np.sqrt(2.0 * np.log(x.shape[0]))
-    else:
-        threshold = float(sigma) * float(np.sqrt(2.0 * np.log(x.shape[0])))
+        return _denoise_mad(x, family=family, detrend=detrend)
+    threshold = float(sigma) * float(np.sqrt(2.0 * np.log(x.shape[0])))
     return _wav.dwt_denoise(x, threshold, family=family, detrend=detrend)
 
 
@@ -187,18 +217,16 @@ def denoise_batch(batch, family="db4", sigma=None, detrend=False):
     (rows = light curves) — the P4 batch path for the wavelet family,
     matching wps_batch/hht_batch. ``sigma`` may be a scalar, a per-row
     array, or None for per-row MAD estimates; everything runs as one
-    vmapped jitted program."""
-    x = jnp.asarray(batch)
+    vmapped jitted program (integer input is promoted to float first,
+    like the single-series path)."""
+    x = _as_float(jnp.asarray(batch))
     if x.ndim != 2:
         raise ValueError("denoise_batch expects [batch, n] input")
     if sigma is None:
-        d1 = jax.vmap(lambda xx: _wav.wavedec(xx, family)[-1])(x)
-        sigma = jnp.median(jnp.abs(d1), axis=1) / 0.6745
+        return _denoise_mad_batch(x, family=family, detrend=detrend)
     sigma = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (x.shape[0],))
     thr = sigma * np.sqrt(2.0 * np.log(x.shape[1]))
-    return jax.vmap(
-        lambda xx, th: _wav.dwt_denoise(xx, th, family=family, detrend=detrend)
-    )(x, thr)
+    return _denoise_batch_fixed(x, thr, family=family, detrend=detrend)
 
 
 def reconstruct(coefs, periods, dt, family):

@@ -518,3 +518,61 @@ def test_from_xray_zero_d_and_assume_sorted():
     np.testing.assert_array_equal(np.asarray(out.time), [0.0, 1.0, 2.0])
     out2 = ts.from_xray(shuffled, assume_sorted=True)
     np.testing.assert_array_equal(np.asarray(out2.time), [2.0, 0.0, 1.0])
+
+
+def test_from_xray_transposed_dims_and_mismatch():
+    """A 2-D DataArray-like with dims ('time','frequency') must be
+    re-oriented to this library's ('frequency','time') layout, not
+    silently mis-labeled; foreign dims raise."""
+    import types
+
+    t = np.arange(4.0)
+    f = np.arange(4.0) + 1.0
+    vals_tf = np.arange(16.0).reshape(4, 4)  # [time, frequency]
+    tfs = TFSeries(time=t, frequency=f, values=np.zeros((4, 4)))
+    xr_like = types.SimpleNamespace(
+        dims=("time", "frequency"),
+        ndim=2,
+        values=vals_tf,
+        coords={
+            "time": types.SimpleNamespace(values=t),
+            "frequency": types.SimpleNamespace(values=f),
+        },
+        attrs={},
+    )
+    out = tfs.from_xray(xr_like)
+    np.testing.assert_array_equal(np.asarray(out.values), vals_tf.T)
+    # non-square transposed input round-trips too
+    vals_rect = np.arange(12.0).reshape(4, 3)  # [time=4, frequency=3]
+    xr_rect = types.SimpleNamespace(
+        dims=("time", "frequency"),
+        ndim=2,
+        values=vals_rect,
+        coords={
+            "time": types.SimpleNamespace(values=t),
+            "frequency": types.SimpleNamespace(values=f[:3]),
+        },
+        attrs={},
+    )
+    out2 = tfs.from_xray(xr_rect)
+    np.testing.assert_array_equal(np.asarray(out2.values), vals_rect.T)
+    bad = types.SimpleNamespace(
+        dims=("space",), ndim=1, values=t,
+        coords={"space": types.SimpleNamespace(values=t)}, attrs={},
+    )
+    with pytest.raises(ValueError, match="do not match"):
+        TSeries(t, t).from_xray(bad)
+
+
+def test_wrap_reduce_keepdims():
+    from periodicity_tpu.core import wrap_reduce
+
+    t = np.arange(6.0)
+    tfs = TFSeries(time=t, frequency=np.arange(3.0) + 1.0,
+                   values=np.arange(18.0).reshape(3, 6))
+    rms = wrap_reduce(lambda v, **kw: np.sqrt(np.mean(np.square(v), **kw)))
+    red = rms(tfs, dim="time", keepdims=True)
+    assert type(red).__name__ == "FSeries"
+    assert np.asarray(red.values).shape == (3,)
+    full = rms(tfs, keepdims=True)
+    assert np.ndim(full) == 0

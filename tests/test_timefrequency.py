@@ -234,3 +234,32 @@ def test_denoise_batch_matches_single():
     # per-row sigma array accepted
     arr = np.asarray(denoise_batch(batch, sigma=np.full(3, 0.25)))
     np.testing.assert_allclose(arr, many, atol=1e-10)
+
+
+def test_denoise_integer_input_and_bad_theta():
+    """Integer batches promote to float (sigma<1 must not truncate to a
+    zero threshold), and GeorgeModeler.set_params validates length."""
+    from periodicity_tpu.timefrequency import denoise_batch
+
+    rng = np.random.default_rng(9)
+    base = 100.0 * np.sin(2 * np.pi * np.arange(512.0) / 128.0)
+    noisy = (base + 30.0 * rng.standard_normal(512)).astype(np.int32)
+    batch = np.stack([noisy, noisy])
+    out = np.asarray(denoise_batch(batch, sigma=0.9))
+    assert np.issubdtype(out.dtype, np.floating)
+    # a 0.9-sigma threshold is tiny but nonzero: output != raw input
+    assert not np.array_equal(out[0], noisy.astype(out.dtype))
+    one = np.asarray(denoise(noisy, sigma=0.9))
+    np.testing.assert_allclose(out[0], one, rtol=1e-5, atol=1e-4)
+
+
+def test_george_set_params_validates_length():
+    from periodicity_tpu.core import TSeries
+    from periodicity_tpu.gp import QuasiPeriodicGP
+
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 30, 50))
+    y = np.sin(2 * np.pi * t / 5.0)
+    m = QuasiPeriodicGP(TSeries(t, y), err=np.full(50, 0.1))
+    with pytest.raises(ValueError, match="expected"):
+        m.set_params(np.zeros(3))
