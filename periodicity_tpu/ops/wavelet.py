@@ -231,21 +231,21 @@ def _coif_moment_system(k_order, dtype=float):
     return np.stack(rows), np.asarray(rhs, dtype)
 
 
-def _coif_full_residual(h, k_order, A, b):
-    """Moment rows stacked with the 3K orthonormality (double-shift)
-    conditions — the complete coiflet system over the raw filter."""
+def _coif_orth_residual(h, k_order):
+    """The 3K double-shift orthonormality conditions over the raw
+    filter (shared by the null-space multistart and the branch
+    continuation)."""
     L = 6 * k_order
-    orth = np.asarray(
+    return np.asarray(
         [
             np.dot(h[: L - 2 * k], h[2 * k:]) - (1.0 if k == 0 else 0.0)
             for k in range(3 * k_order)
         ],
         h.dtype,
     )
-    return np.concatenate([A @ h - b, orth])
 
 
-def _coif_full_jacobian(h, k_order, A):
+def _coif_orth_jacobian(h, k_order):
     L = 6 * k_order
     rows = []
     for k in range(3 * k_order):
@@ -253,7 +253,17 @@ def _coif_full_jacobian(h, k_order, A):
         row[: L - 2 * k] += h[2 * k:]
         row[2 * k:] += h[: L - 2 * k]
         rows.append(row)
-    return np.vstack([A, np.stack(rows)])
+    return np.stack(rows)
+
+
+def _coif_full_residual(h, k_order, A, b):
+    """Moment rows stacked with the orthonormality conditions — the
+    complete coiflet system over the raw filter."""
+    return np.concatenate([A @ h - b, _coif_orth_residual(h, k_order)])
+
+
+def _coif_full_jacobian(h, k_order, A):
+    return np.vstack([A, _coif_orth_jacobian(h, k_order)])
 
 
 def _coif_continue(h_prev, k_order):
@@ -338,23 +348,10 @@ def _coiflet(k_order):
     B = Vt[np.sum(S > 1e-10):].T  # [L, 2K] null-space basis
 
     def orth_res(theta):
-        h = h_part + B @ theta
-        return np.asarray(
-            [
-                np.dot(h[: L - 2 * k], h[2 * k:]) - (1.0 if k == 0 else 0.0)
-                for k in range(3 * k_order)
-            ]
-        )
+        return _coif_orth_residual(h_part + B @ theta, k_order)
 
     def orth_jac(theta):
-        h = h_part + B @ theta
-        out = []
-        for k in range(3 * k_order):
-            row = np.zeros(L)
-            row[: L - 2 * k] += h[2 * k:]
-            row[2 * k:] += h[: L - 2 * k]
-            out.append(row @ B)
-        return np.stack(out)
+        return _coif_orth_jacobian(h_part + B @ theta, k_order) @ B
 
     def lm(theta):
         lam = 1e-3
