@@ -30,6 +30,8 @@ from ..utils.logging import log_event
 
 __all__ = [
     "StringLength",
+    "BLS",
+    "bls_scan",
     "PDM",
     "AoV",
     "ConditionalEntropy",
@@ -508,3 +510,127 @@ def string_length_batch(t, ms, periods, batch_size=128):
     return jax.vmap(
         lambda m: string_length_scan(t, m, periods, batch_size=batch_size)
     )(ms)
+
+
+@partial(jax.jit, static_argnames=("widths", "nbins", "batch_size"))
+def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64):
+    """Box Least Squares power for each trial period (Kovacs, Zucker &
+    Mazeh 2002), weighted formulation.
+
+    TPU-first shape: per period, phase binning is ONE batched
+    scatter-add into ``nbins`` bins; every (box start x box width)
+    window sum is a prefix-sum difference at a static width; the
+    (width, start) statistic grid reduces on device. No sorting and no
+    data-dependent shapes anywhere, so the trial-period axis runs under
+    ``lax.map`` chunking and shards across chips like the other phase
+    scorers.
+
+    t: [N] times; y: [N] values; w: [N] weights summing to 1
+    (precompute w = (1/err^2) / sum(1/err^2)); periods: [P];
+    widths: static tuple of box widths in BINS (duration fractions q
+    map to max(1, round(q * nbins))).
+
+    Returns (power[P], depth[P], width_idx[P], bin_start[P]) where
+    power = max over boxes of s^2 / (r (1 - r)) — the squared KZM02
+    signal residue of the weighted, mean-subtracted fold. For correct
+    per-point weights, SNR = sqrt(power * sum(1/err^2)) is the depth
+    significance; both objectives share the same argmax.
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    w = jnp.asarray(w)
+    yc = y - jnp.sum(w * y)  # weighted mean out once; s is fold-invariant
+    eps = jnp.asarray(1e-12, t.dtype)
+
+    def one(period):
+        phi = (t / period) % 1.0
+        b = jnp.clip((phi * nbins).astype(jnp.int32), 0, nbins - 1)
+        r_bin = jnp.zeros(nbins, t.dtype).at[b].add(w)
+        s_bin = jnp.zeros(nbins, t.dtype).at[b].add(w * yc)
+        # circular prefix sums: window sums of static width wd are
+        # cs[i + wd] - cs[i] on the doubled (wrapped) bin array
+        cr = jnp.concatenate([jnp.zeros(1, t.dtype), r_bin, r_bin]).cumsum()
+        cs = jnp.concatenate([jnp.zeros(1, t.dtype), s_bin, s_bin]).cumsum()
+        rs = jnp.stack([cr[wd : wd + nbins] - cr[:nbins] for wd in widths])
+        ss = jnp.stack([cs[wd : wd + nbins] - cs[:nbins] for wd in widths])
+        valid = (rs > eps) & (rs < 1.0 - eps)
+        sr2 = jnp.where(valid, ss**2 / (rs * (1.0 - rs) + eps), -jnp.inf)
+        k = jnp.argmax(sr2)
+        di, bi = k // nbins, k % nbins
+        depth = -ss[di, bi] / (rs[di, bi] * (1.0 - rs[di, bi]) + eps)
+        return sr2[di, bi], depth, di, bi
+
+    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+class BLS:
+    """Box Least Squares transit search — a beyond-reference estimator
+    (the reference has no transit scorer; astropy's
+    ``timeseries.BoxLeastSquares`` is the ecosystem analog). Same
+    configured-callable surface as StringLength/PDM/AoV.
+
+    Parameters: ``durations`` are trial transit durations as PHASE
+    fractions q of each trial period (KZM02 style); ``nbins`` phase
+    bins bound the epoch resolution. After calling:
+    ``periodogram`` (FSeries of SR^2 power vs period, with per-period
+    ``depth``/``duration``/``transit_time`` arrays in ``attrs``) and the
+    scalar ``best_period``/``best_depth``/``best_duration``/
+    ``best_transit_time``/``best_snr``.
+    """
+
+    def __init__(self, durations=(0.01, 0.02, 0.05, 0.1), nbins=256,
+                 p_min=None, p_max=None, n_periods=1000, batch_size=64):
+        self.durations = tuple(float(q) for q in durations)
+        if not all(0.0 < q < 0.5 for q in self.durations):
+            raise ValueError("durations must be phase fractions in (0, 0.5)")
+        self.nbins = nbins
+        self.p_min = p_min
+        self.p_max = p_max
+        self.n_periods = n_periods
+        self.batch_size = batch_size
+
+    def __call__(self, signal, err=None):
+        if not isinstance(signal, TSeries):
+            signal = TSeries(values=signal)
+        self.signal = signal
+        n = signal.size
+        if err is None:
+            w = np.full(n, 1.0 / n)
+            w_total = float(n / np.var(np.asarray(signal.values)))
+        else:
+            inv = 1.0 / np.asarray(err) ** 2
+            w_total = float(inv.sum())
+            w = inv / w_total
+        p_min = 2 * float(signal.median_dt) if self.p_min is None else self.p_min
+        p_max = float(signal.baseline) if self.p_max is None else self.p_max
+        self.periods = np.linspace(p_min, p_max, self.n_periods)
+        widths = tuple(
+            max(1, int(round(q * self.nbins))) for q in self.durations
+        )
+        log_event("bls", n=n, n_periods=self.n_periods,
+                  nbins=self.nbins, n_durations=len(widths))
+        power, depth, di, bi = bls_scan(
+            signal.time, signal.values, w, self.periods,
+            widths=widths, nbins=self.nbins, batch_size=self.batch_size,
+        )
+        power = np.asarray(power)
+        depth = np.asarray(depth)
+        di = np.asarray(di)
+        bi = np.asarray(bi)
+        q_best = np.asarray(self.durations)[di]
+        wd = np.asarray(widths)[di]
+        # mid-transit phase of the best box; epoch reported in [0, P)
+        # on the same phase origin as the fold (phi = (t/P) mod 1)
+        phase_mid = (bi + wd / 2.0) / self.nbins
+        t0 = phase_mid * self.periods
+        self.periodogram = FSeries(1.0 / self.periods, power)
+        self.periodogram.attrs.update(
+            depth=depth, duration=q_best * self.periods, transit_time=t0,
+        )
+        k = int(np.argmax(power))
+        self.best_period = float(self.periods[k])
+        self.best_depth = float(depth[k])
+        self.best_duration = float(q_best[k] * self.periods[k])
+        self.best_transit_time = float(t0[k])
+        self.best_snr = float(np.sqrt(max(power[k], 0.0) * w_total))
+        return self.periodogram

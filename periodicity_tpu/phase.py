@@ -2,6 +2,8 @@
 
 from .models.phase import (
     AoV,
+    BLS,
+    bls_scan,
     ConditionalEntropy,
     GregoryLoredo,
     PDM,
@@ -19,6 +21,8 @@ from .models.phase import (
 
 __all__ = [
     "StringLength",
+    "BLS",
+    "bls_scan",
     "PDM",
     "AoV",
     "ConditionalEntropy",

@@ -192,3 +192,76 @@ def test_string_length_estimator_fast_default():
         np.asarray(ell_e.period)[np.argmin(np.asarray(ell_e.values))]
     )
     assert best == pytest.approx(best_e, abs=1e-9)
+
+
+def _bls_sr2_numpy(t, y, w, period, widths, nbins):
+    """Brute-force KZM02 weighted signal residue over the same phase bins."""
+    yc = y - np.sum(w * y)
+    phi = (t / period) % 1.0
+    b = np.clip((phi * nbins).astype(np.int64), 0, nbins - 1)
+    r_bin = np.bincount(b, weights=w, minlength=nbins)
+    s_bin = np.bincount(b, weights=w * yc, minlength=nbins)
+    best = -np.inf
+    for wd in widths:
+        for i in range(nbins):
+            idx = (np.arange(i, i + wd)) % nbins
+            r = r_bin[idx].sum()
+            s = s_bin[idx].sum()
+            if 1e-12 < r < 1 - 1e-12:
+                best = max(best, s * s / (r * (1 - r) + 1e-12))
+    return best
+
+
+def _transit(n=800, period=5.17, q=0.05, depth=0.02, noise=0.0, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 60.0, n))
+    phi = (t / period) % 1.0
+    y = np.where(phi < q, -depth, 0.0) + noise * rng.standard_normal(n)
+    return t, y
+
+
+def test_bls_scan_matches_numpy_oracle():
+    from periodicity_tpu.phase import bls_scan
+
+    t, y = _transit(n=300, noise=0.01)
+    rng = np.random.default_rng(7)
+    err = 0.01 * (1 + rng.uniform(size=t.size))
+    inv = 1.0 / err**2
+    w = inv / inv.sum()
+    periods = np.linspace(2.0, 9.0, 40)
+    widths, nbins = (3, 13, 26), 128
+    power, _, _, _ = bls_scan(t, y, w, periods, widths=widths, nbins=nbins)
+    power = np.asarray(power)
+    for j in (0, 9, 21, 39):
+        ref = _bls_sr2_numpy(t, y, w, periods[j], widths, nbins)
+        assert power[j] == pytest.approx(ref, rel=1e-6), j
+
+
+def test_bls_recovers_transit():
+    from periodicity_tpu.phase import BLS
+
+    period, depth, q = 5.17, 0.02, 0.05
+    t, y = _transit(period=period, q=q, depth=depth, noise=0.003)
+    bls = BLS(durations=(0.02, 0.05, 0.1), nbins=256, p_min=2.0, p_max=20.0,
+              n_periods=4000)
+    pg = bls(TSeries(t, y), err=np.full(t.size, 0.003))
+    assert bls.best_period == pytest.approx(period, rel=0.01)
+    assert bls.best_depth == pytest.approx(depth, rel=0.15)
+    assert bls.best_duration == pytest.approx(q * period, rel=0.3)
+    # epoch: the injected transit covers phase [0, q) -> mid-phase q/2
+    phase_mid = (bls.best_transit_time / bls.best_period) % 1.0
+    assert phase_mid == pytest.approx(q / 2, abs=0.02)
+    assert bls.best_snr > 20.0
+    # periodogram surface: FSeries with per-period attrs
+    assert pg.values.shape == (4000,)
+    for key in ("depth", "duration", "transit_time"):
+        assert np.asarray(pg.attrs[key]).shape == (4000,)
+
+
+def test_bls_no_err_default_weights():
+    from periodicity_tpu.phase import BLS
+
+    t, y = _transit(noise=0.004, seed=11)
+    bls = BLS(p_min=2.0, p_max=20.0, n_periods=3000)
+    bls(TSeries(t, y))
+    assert bls.best_period == pytest.approx(5.17, rel=0.01)
