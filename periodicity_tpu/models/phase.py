@@ -32,6 +32,7 @@ __all__ = [
     "StringLength",
     "BLS",
     "bls_scan",
+    "bls_batch",
     "PDM",
     "AoV",
     "ConditionalEntropy",
@@ -561,6 +562,23 @@ def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64):
         return sr2[di, bi], depth, di, bi
 
     return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+
+
+@partial(jax.jit, static_argnames=("widths", "nbins", "batch_size"))
+def bls_batch(t, ys, ws, periods, widths, nbins=256, batch_size=64):
+    """BLS power for B light curves sharing one time grid, in one jitted
+    program: ys/ws [B, N] -> (power, depth, width_idx, bin_start) each
+    [B, P] (the SURVEY §2.2 batch axis; follows pdm_batch). ws rows are
+    per-series normalized weights (each summing to 1). Shard the leading
+    axis over a mesh for multi-chip batches."""
+    t = jnp.asarray(t)
+    ys = jnp.asarray(ys)
+    ws = jnp.asarray(ws)
+    periods = jnp.asarray(periods)
+    return jax.vmap(
+        lambda y, w: bls_scan(t, y, w, periods, widths=widths,
+                              nbins=nbins, batch_size=batch_size)
+    )(ys, ws)
 
 
 class BLS:

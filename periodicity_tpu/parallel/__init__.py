@@ -23,6 +23,7 @@ from .distributed import initialize_distributed, multihost_mesh
 from .mesh import default_mesh, grid_sharding
 from .sharded import (
     sharded_acf,
+    sharded_bls,
     sharded_gls,
     sharded_pdm,
     sharded_string_length,
@@ -34,6 +35,7 @@ __all__ = [
     "sharded_gls",
     "sharded_pdm",
     "sharded_string_length",
+    "sharded_bls",
     "sharded_acf",
     "distributed_fft",
     "distributed_ifft",

@@ -16,9 +16,15 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models.spectral import gls_power
-from ..models.phase import pdm_scan, string_length_scan
+from ..models.phase import bls_scan, pdm_scan, string_length_scan
 
-__all__ = ["sharded_gls", "sharded_pdm", "sharded_string_length", "sharded_acf"]
+__all__ = [
+    "sharded_gls",
+    "sharded_pdm",
+    "sharded_string_length",
+    "sharded_bls",
+    "sharded_acf",
+]
 
 
 def sharded_gls(t, y, err, df, fmin, nf, mesh, axis="grid",
@@ -87,6 +93,35 @@ def sharded_string_length(t, m, periods, mesh, axis="grid", batch_size=128):
         string_length_scan, t, m, jnp.asarray(periods), mesh, axis,
         batch_size=batch_size,
     )
+
+
+def sharded_bls(t, y, w, periods, mesh, axis="grid", widths=(3, 13, 26),
+                nbins=256, batch_size=64):
+    """BLS over a period grid sharded across chips: each chip folds and
+    scores its own contiguous slice of the trial periods with the
+    single-chip scatter-add/prefix-sum kernel (series replicated, no
+    collectives until a replicated result is requested). Returns the
+    (power, depth, width_idx, bin_start) tuple, each sharded over
+    `axis`."""
+    periods = jnp.asarray(periods)
+    d = mesh.shape[axis]
+    if periods.shape[0] % d:
+        raise ValueError(
+            f"n_periods={periods.shape[0]} must be divisible by mesh axis size {d}"
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def _run(t, y, w, periods_local):
+        return bls_scan(t, y, w, periods_local, widths=widths,
+                        nbins=nbins, batch_size=batch_size)
+
+    return _run(jnp.asarray(t), jnp.asarray(y), jnp.asarray(w), periods)
 
 
 def sharded_acf(y_batch, mesh, batch_axis="batch"):

@@ -199,3 +199,18 @@ def test_multihost_helpers_single_process(mesh):
     power = np.asarray(sharded_gls(t, y, err, 0.001, 0.0005, nf, m))
     assert power.shape == (nf,)
     assert np.all(np.isfinite(power))
+
+
+def test_sharded_bls_matches_single_device(mesh):
+    from periodicity_tpu.parallel import sharded_bls
+    from periodicity_tpu.phase import bls_scan
+
+    t, y, err = _data()
+    inv = 1.0 / err**2
+    w = inv / inv.sum()
+    periods = np.linspace(2.0, 12.0, 800)
+    widths, nbins = (3, 13, 26), 128
+    ref = bls_scan(t, y, w, periods, widths=widths, nbins=nbins)
+    got = sharded_bls(t, y, w, periods, mesh, widths=widths, nbins=nbins)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10)

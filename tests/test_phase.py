@@ -265,3 +265,29 @@ def test_bls_no_err_default_weights():
     bls = BLS(p_min=2.0, p_max=20.0, n_periods=3000)
     bls(TSeries(t, y))
     assert bls.best_period == pytest.approx(5.17, rel=0.01)
+
+
+def test_bls_batch_matches_per_series():
+    from periodicity_tpu.phase import bls_batch, bls_scan
+
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.uniform(0, 60.0, 400))
+    ys, ws = [], []
+    for b, period in enumerate((4.1, 6.9, 9.3)):
+        phi = (t / period) % 1.0
+        ys.append(np.where(phi < 0.05, -0.02, 0.0)
+                  + 0.005 * rng.standard_normal(t.size))
+        err = 0.005 * (1 + rng.uniform(size=t.size))
+        inv = 1.0 / err**2
+        ws.append(inv / inv.sum())
+    ys, ws = np.stack(ys), np.stack(ws)
+    periods = np.linspace(2.0, 12.0, 300)
+    widths, nbins = (3, 13), 128
+    batched = bls_batch(t, ys, ws, periods, widths=widths, nbins=nbins)
+    for b in range(3):
+        single = bls_scan(t, ys[b], ws[b], periods, widths=widths,
+                          nbins=nbins)
+        for bt, st in zip(batched, single):
+            np.testing.assert_allclose(
+                np.asarray(bt[b]), np.asarray(st), rtol=1e-12
+            )
