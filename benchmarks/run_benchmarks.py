@@ -513,6 +513,51 @@ def config10_ceemdan():
     }
 
 
+def config11_bls():
+    """BLS transit search over 1e5 trial periods x 4 durations (beyond
+    reference; scatter-add fold + circular prefix-sum box grid). Same
+    chained data-dependent timing discipline as config 4."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.phase import bls_scan
+
+    n, n_periods = 2000, 100_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 200.0, n)).astype(np.float32)
+    phi = (t / 7.7) % 1.0
+    y = (
+        np.where(phi < 0.05, -0.02, 0.0)
+        + 0.005 * rng.standard_normal(n)
+    ).astype(np.float32)
+    w = np.full(n, 1.0 / n, dtype=np.float32)
+    periods = np.linspace(0.5, 100.0, n_periods).astype(np.float32)
+    widths = (3, 6, 13, 26)
+    tj, yj, wj, pj = map(jnp.asarray, (t, y, w, periods))
+
+    k = 3
+
+    @jax.jit
+    def loop(y0):
+        def body(_, carry):
+            y0, acc = carry
+            power, depth, _, _ = bls_scan(
+                tj, y0, wj, pj, widths=widths, nbins=256, batch_size=512
+            )
+            return (y0 + power[0] * 1e-9, acc + jnp.sum(power[:8]))
+
+        return jax.lax.fori_loop(0, k, body, (y0, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(yj))) / k
+    return {
+        "metric": "bls_trial_periods_per_sec_N2000_4dur",
+        "value": n_periods / dt,
+        "unit": "periods/sec",
+        "detail": {"seconds_per_scan": dt, "n_durations": len(widths),
+                   "nbins": 256},
+    }
+
+
 CONFIGS = {
     1: config1_gls,
     2: config2_acf,
@@ -524,12 +569,13 @@ CONFIGS = {
     8: config8_mcmc_throughput,
     9: config9_hht_batch,
     10: config10_ceemdan,
+    11: config11_bls,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10,11")
     args = ap.parse_args()
     for c in [int(x) for x in args.configs.split(",")]:
         if c not in CONFIGS:
