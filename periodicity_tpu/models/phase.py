@@ -635,10 +635,12 @@ class BLS:
         depth = np.asarray(depth)
         di = np.asarray(di)
         bi = np.asarray(bi)
-        q_best = np.asarray(self.durations)[di]
         wd = np.asarray(widths)[di]
-        # mid-transit phase of the best box; epoch reported in [0, P)
-        # on the same phase origin as the fold (phi = (t/P) mod 1)
+        # realized box width: round(q * nbins) bins, the width the scorer
+        # actually evaluated (may differ from the requested fraction q at
+        # coarse nbins); epoch is the mid-transit time in [0, P) on the
+        # same phase origin as the fold (phi = (t/P) mod 1)
+        q_best = wd / self.nbins
         phase_mid = (bi + wd / 2.0) / self.nbins
         t0 = phase_mid * self.periods
         self.periodogram = FSeries(1.0 / self.periods, power)

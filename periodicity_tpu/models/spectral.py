@@ -33,7 +33,7 @@ from ..ops.trig_sum import (
 )
 from ..utils.logging import log_event
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
 
 
 def _nfft_2f(dtype, nf):
@@ -363,13 +363,33 @@ class GLS:
         self.bs_replicates = np.asarray(reps)
         return self.bs_replicates
 
-    def fap(self, power):
-        """False-alarm probability of a given power level."""
-        return np.mean(power < self.bs_replicates)
+    def fap(self, power, method="bootstrap"):
+        """False-alarm probability of a given (max) power level.
 
-    def fal(self, fap):
-        """False-alarm level at a given probability."""
-        return np.quantile(self.bs_replicates, 1 - fap)
+        ``method="bootstrap"`` uses the max-power replicates from
+        :meth:`bootstrap` (reference spectral.py:154-158; run it first);
+        ``method="baluev"`` is the analytic Baluev (2008) upper bound —
+        no resampling scan needed (beyond-reference, astropy-style).
+        """
+        if method == "bootstrap":
+            return np.mean(power < self.bs_replicates)
+        if method != "baluev":
+            raise ValueError(f"unknown FAP method {method!r}")
+        return fap_baluev(
+            self.signal.time, self.err, power,
+            fmax=float(self.frequency[-1]), psd=self.psd,
+        )
+
+    def fal(self, fap, method="bootstrap"):
+        """False-alarm level: the power whose FAP equals ``fap``."""
+        if method == "bootstrap":
+            return np.quantile(self.bs_replicates, 1 - fap)
+        if method != "baluev":
+            raise ValueError(f"unknown FAL method {method!r}")
+        return fal_baluev(
+            self.signal.time, self.err, fap,
+            fmax=float(self.frequency[-1]), psd=self.psd,
+        )
 
     def refine(self, n_peaks=1, zoom=32, width=2.0, fit_mean=None):
         """Exact local refinement of the top fast-periodogram peaks.
@@ -448,6 +468,71 @@ class GLS:
         )
         yf = y_mean + Xf.T @ theta
         return TSeries(tf, yf)
+
+
+def fap_baluev(t, err, z, fmax, psd=False):
+    """Analytic false-alarm probability of the maximum periodogram power.
+
+    Baluev (2008, MNRAS 385, 1279) aliasing-free upper bound for the
+    floating-mean Lomb-Scargle scanned up to ``fmax``:
+    ``FAP(z) <= 1 - (1 - FAP_single(z)) * exp(-tau(z))`` with the Davies
+    bound ``tau = W * (1-z)^((Nk-1)/2) * sqrt(Nk z / 2)`` (standard
+    normalization, power in [0, 1]) or ``tau = W exp(-z) sqrt(z)`` (psd),
+    ``W = fmax * sqrt(4 pi var_w(t))``. The bound is tight for
+    FAP <~ 0.1 — the regime where detection claims live. Host-side numpy
+    (a handful of scalars; nothing to accelerate).
+
+    The reference offers only the bootstrap estimate (spectral.py:154-163),
+    which re-enters the full periodogram per replicate; this closed form
+    needs none. Small-sample caveat: requires N > 4 (Nk = N - 3 degrees
+    of freedom).
+    """
+    t = np.asarray(t, float)
+    w = np.asarray(err, float) ** -2.0
+    w = w / w.sum()
+    n = t.size
+    if n <= 4:
+        raise ValueError("Baluev FAP needs N > 4 samples")
+    nk = n - 3
+    tbar = np.dot(w, t)
+    teff = np.sqrt(4.0 * np.pi * np.dot(w, (t - tbar) ** 2))
+    big_w = fmax * teff
+    z = np.asarray(z, float)
+    if psd:
+        zc = np.maximum(z, 0.0)
+        fap1 = np.exp(-zc)
+        tau = big_w * np.exp(-zc) * np.sqrt(zc)
+    else:
+        zc = np.clip(z, 0.0, 1.0)
+        fap1 = (1.0 - zc) ** (0.5 * nk)
+        tau = big_w * (1.0 - zc) ** (0.5 * (nk - 1)) * np.sqrt(0.5 * nk * zc)
+    # 1 - (1 - fap1) exp(-tau), rearranged so small-FAP tails (the
+    # detection regime, fap1 and tau both << 1) don't cancel to 0.0
+    return fap1 * np.exp(-tau) - np.expm1(-tau)
+
+
+def fal_baluev(t, err, fap, fmax, psd=False, tol=1e-12, max_iter=200):
+    """Power level whose Baluev FAP equals ``fap`` (inverse of
+    :func:`fap_baluev` by bisection; the FAP is monotone decreasing in z)."""
+    target = float(fap)
+    if not 0.0 < target < 1.0:
+        raise ValueError("fap must be in (0, 1)")
+    lo, hi = 0.0, 1.0
+    if psd:
+        hi = 1.0
+        while fap_baluev(t, err, hi, fmax, psd=True) > target:
+            hi *= 2.0
+            if hi > 1e12:
+                break
+    for _ in range(max_iter):
+        mid = 0.5 * (lo + hi)
+        if fap_baluev(t, err, mid, fmax, psd=psd) > target:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < tol * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
 
 
 @partial(jax.jit, static_argnames=("nf",))

@@ -7,8 +7,10 @@ from .models.spectral import (
     bglst_log_ml,
     bglst_log_ml_fast,
     default_frequency_grid,
+    fal_baluev,
+    fap_baluev,
     gls_power,
     gls_power_batch,
 )
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]

@@ -24,3 +24,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache shared by all xdist workers and across
+# runs: most of the suite's wall time is CPU compiles of jitted kernels,
+# and a warm cache cuts compile-heavy files ~4x (measured). The directory
+# is gitignored; safe under concurrent writers (atomic renames).
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

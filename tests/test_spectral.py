@@ -416,3 +416,61 @@ def test_bglst_estimator_fast_default():
     fs = bg(sig, err=np.full(400, 0.2))
     best = float(fs.period_at_highest_peak)
     assert abs(best - 6.0) < 0.15
+
+
+def test_baluev_fap_calibration_against_bootstrap():
+    """Baluev (2008) analytic FAP tracks the bootstrap null on pure noise.
+
+    The analytic form is an upper bound that is tight in the detection
+    regime; at bootstrap-quantile power levels the two must agree within
+    a small factor (not orders of magnitude)."""
+    rng = np.random.default_rng(7)
+    t = np.arange(100.0)
+    y = rng.standard_normal(100)
+    gls = GLS()
+    gls(TSeries(t, y))
+    reps = gls.bootstrap(400, random_seed=1)
+    for q in (0.5, 0.9):
+        z = float(np.quantile(reps, q))
+        boot = 1.0 - q
+        analytic = float(gls.fap(z, method="baluev"))
+        assert 0.3 * boot < analytic < 4.0 * boot
+
+
+def test_baluev_fap_properties_and_inverse():
+    from periodicity_tpu.spectral import fal_baluev, fap_baluev
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 50, 200))
+    err = np.full(200, 0.3)
+    z = np.linspace(0.01, 0.6, 12)
+    f = fap_baluev(t, err, z, fmax=5.0)
+    assert np.all((f >= 0) & (f <= 1))
+    assert np.all(np.diff(f) < 0)  # monotone decreasing in power
+    for target in (0.01, 0.1, 0.5):
+        zt = fal_baluev(t, err, target, fmax=5.0)
+        assert fap_baluev(t, err, zt, fmax=5.0) == pytest.approx(
+            target, rel=1e-6
+        )
+    # psd normalization: same structure, unbounded power axis
+    zp = np.linspace(1.0, 20.0, 10)
+    fp = fap_baluev(t, err, zp, fmax=5.0, psd=True)
+    assert np.all(np.diff(fp) < 0)
+    zt = fal_baluev(t, err, 0.01, fmax=5.0, psd=True)
+    assert fap_baluev(t, err, zt, fmax=5.0, psd=True) == pytest.approx(
+        0.01, rel=1e-6
+    )
+
+
+def test_gls_fap_fal_method_roundtrip():
+    """GLS.fap/fal with method='baluev' invert each other on the
+    estimator surface (no bootstrap needed)."""
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0, 30, 150))
+    y = rng.standard_normal(150)
+    gls = GLS()
+    gls(TSeries(t, y), err=np.full(150, 1.0))
+    z = gls.fal(0.05, method="baluev")
+    assert gls.fap(z, method="baluev") == pytest.approx(0.05, rel=1e-6)
+    with pytest.raises(ValueError):
+        gls.fap(0.1, method="nope")
