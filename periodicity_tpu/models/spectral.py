@@ -77,9 +77,9 @@ def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
     return freq, df, fmin
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "pair_q", "gridder", "taps"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "pair_q", "gridder", "taps", "nfft"))
 def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
-              pair_q=None, gridder="scatter", taps=4):
+              pair_q=None, gridder="scatter", taps=4, nfft=None):
     """Generalized Lomb-Scargle power on a uniform frequency grid.
 
     Pure function of (t[N], y[N], err[N]) -> power[nf]. Implements the
@@ -102,6 +102,13 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
     cuts the float64 fast-path power error ~30x (1e-4 -> ~3e-6 vs the
     exact direct method) — the accurate-AND-fast option for large grids
     where ``method="direct"`` is too expensive.
+
+    ``nfft``: static override of the extirpolation grid size for the
+    (df, fmin) pipelines (default next_pow2(5*nf - 1), the reference's
+    rule); the 2f pipeline uses min(nfft, its own default). Smaller grids
+    trade extirpolation accuracy for FFT cost — measured at nf=1e6:
+    halving nfft costs 3.6e-6 -> 3.1e-5 max power error at taps=4 (and
+    2.5e-6 at taps=8), still under the 1e-4 full-grid target.
     """
     t = jnp.asarray(t)
     y = jnp.asarray(y)
@@ -113,16 +120,17 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
     if method == "fast":
         if fit_mean and pair_q is not None:
             Sh, Ch, S, C = trig_sum_pair(t, w * y, w, df, nf, fmin, q=pair_q,
-                                         gridder=gridder, taps=taps)
+                                         gridder=gridder, taps=taps,
+                                         nfft=nfft)
         else:
             # separate extirpolation+FFT kernels: measured faster on TPU
             # than a batched [3, nfft] variant (scatter into 2D operands
             # lowers poorly)
             Sh, Ch = trig_sum(t, w * y, df, nf, fmin, gridder=gridder,
-                              taps=taps)
+                              taps=taps, nfft=nfft)
             if fit_mean:
                 S, C = trig_sum(t, w, df, nf, fmin, gridder=gridder,
-                                taps=taps)
+                                taps=taps, nfft=nfft)
         # In float32 the 2f sum runs on a half-size grid (oversample ~4.2
         # instead of ~8.4): its extirpolation error (~1e-2 relative on the
         # smallest powers) is subdominant to f32 rounding (~5e-3, see
@@ -131,8 +139,11 @@ def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
         # dtype must match what trig_sum itself computes in — including
         # err's (the weights'), not just t/y's.
         dtype = jnp.result_type(t.dtype, y.dtype, err.dtype, jnp.float32)
+        nfft2 = _nfft_2f(dtype, nf)
+        if nfft is not None:
+            nfft2 = min(nfft, nfft2)
         S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin,
-                          nfft=_nfft_2f(dtype, nf), gridder=gridder,
+                          nfft=nfft2, gridder=gridder,
                           taps=taps)
     else:
         freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)

@@ -82,10 +82,15 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
             bin_j = c_safe >> shift  # -1 for invalid -> matches no row
             h_j = c_safe & (_BINW - 1)
             m = (iota_bins == bin_j[None, :]).astype(jnp.float32)
-            sel = iota_h == h_j[:, None]
+            # exact 0/1 lane selector; the VALUES ride on the m side (the
+            # [rows, ALIGN] matrix, 4x smaller than sel's [ALIGN, BINW]) —
+            # scaling m by v[None, :] costs a [rows, ALIGN] FMA where the
+            # former where(sel, v[:, None], 0) cost a [ALIGN, BINW] select;
+            # the kernel is VPU-bound, so the small side should carry them
+            sel = (iota_h == h_j[:, None]).astype(jnp.float32)
             # The TPU matmul truncates f32 inputs to bf16 (measured 4e-3
             # relative grid error at default precision; HIGHEST emulation
-            # blows the VMEM budget). The one-hot M is bf16-exact, so
+            # blows the VMEM budget). The one-hot sel is bf16-exact, so
             # split each VALUE into a bf16 head plus an f32 tail before it
             # enters the MXU: two exact-head dots per plane bound the
             # error at ~bf16_eps^2 ~ 1.6e-5 relative.
@@ -99,11 +104,11 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
                 else:
                     vr, vi = v_re, v_im
                 acc_re = acc_re + jnp.dot(
-                    m, jnp.where(sel, vr[:, None], 0.0),
+                    m * vr[None, :], sel,
                     preferred_element_type=jnp.float32,
                 )
                 acc_im = acc_im + jnp.dot(
-                    m, jnp.where(sel, vi[:, None], 0.0),
+                    m * vi[None, :], sel,
                     preferred_element_type=jnp.float32,
                 )
         return chunk + _ALIGN, acc_re, acc_im

@@ -34,4 +34,4 @@ _cache_dir = os.environ.get(
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -474,3 +474,29 @@ def test_gls_fap_fal_method_roundtrip():
     assert gls.fap(z, method="baluev") == pytest.approx(0.05, rel=1e-6)
     with pytest.raises(ValueError):
         gls.fap(0.1, method="nope")
+
+
+def test_gls_power_nfft_override():
+    """Smaller extirpolation grids trade bounded accuracy for FFT cost;
+    the override must stay close to the default-grid fast path."""
+    from periodicity_tpu.models.spectral import gls_power
+    from periodicity_tpu.ops.trig_sum import grid_size
+
+    rng = np.random.default_rng(11)
+    n, nf = 2000, 10000
+    t = np.sort(rng.uniform(0, 100, n))
+    y = np.sin(2 * np.pi * t / 7.7) + 0.3 * rng.standard_normal(n)
+    e = np.full(n, 0.3)
+    df = 1 / (5 * 100.0)
+    fmin = df / 2
+    p0 = np.asarray(gls_power(t, y, e, df, fmin, nf, pair_q=1))
+    half = grid_size(nf, 5) // 2
+    p1 = np.asarray(gls_power(t, y, e, df, fmin, nf, pair_q=1, nfft=half))
+    p2 = np.asarray(
+        gls_power(t, y, e, df, fmin, nf, pair_q=1, nfft=half, taps=8)
+    )
+    scale = p0.max()
+    assert np.max(np.abs(p1 - p0)) / scale < 2e-3
+    assert np.max(np.abs(p2 - p0)) / scale < 3e-4
+    assert np.argmax(p1) == np.argmax(p0)
+    assert np.argmax(p2) == np.argmax(p0)
