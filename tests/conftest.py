@@ -26,9 +26,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache shared by all xdist workers and across
-# runs: most of the suite's wall time is CPU compiles of jitted kernels,
-# and a warm cache cuts compile-heavy files ~4x (measured). The directory
-# is gitignored; safe under concurrent writers (atomic renames).
+# runs: much of the suite's wall time is CPU compiles of jitted kernels;
+# a warm cache cuts the full suite from ~23-25 min to 15:02 (measured,
+# 310 tests, -n 4 on a 1-core runner). The directory is gitignored; safe
+# under concurrent writers (atomic renames).
 _cache_dir = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
