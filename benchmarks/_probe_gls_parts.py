@@ -10,12 +10,15 @@ Times, with K data-dependent iterations chained inside one jit each
 Usage: python benchmarks/_probe_gls_parts.py [part ...]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from periodicity_tpu.models.spectral import gls_power
 from periodicity_tpu.ops.trig_sum import _extirpolate_weights, _phase_factor

@@ -639,13 +639,20 @@ class BLS:
         # realized box width: round(q * nbins) bins, the width the scorer
         # actually evaluated (may differ from the requested fraction q at
         # coarse nbins); epoch is the mid-transit time in [0, P) on the
-        # same phase origin as the fold (phi = (t/P) mod 1)
+        # same phase origin as the fold (phi = (t/P) mod 1) — boxes that
+        # wrap phase 1 put the midpoint past 1, hence the mod
         q_best = wd / self.nbins
-        phase_mid = (bi + wd / 2.0) / self.nbins
+        phase_mid = ((bi + wd / 2.0) / self.nbins) % 1.0
         t0 = phase_mid * self.periods
+        # the FSeries constructor sorts by ascending frequency, REVERSING
+        # the ascending-period order of every per-period array — apply the
+        # same permutation to the attrs so attrs[i] describes values[i]
+        order = np.argsort(1.0 / self.periods)
         self.periodogram = FSeries(1.0 / self.periods, power)
         self.periodogram.attrs.update(
-            depth=depth, duration=q_best * self.periods, transit_time=t0,
+            depth=depth[order],
+            duration=(q_best * self.periods)[order],
+            transit_time=t0[order],
         )
         k = int(np.argmax(power))
         self.best_period = float(self.periods[k])

@@ -389,6 +389,7 @@ class GLS:
         return fap_baluev(
             self.signal.time, self.err, power,
             fmax=float(self.frequency[-1]), psd=self.psd,
+            fit_mean=self.fit_mean,
         )
 
     def fal(self, fap, method="bootstrap"):
@@ -400,6 +401,7 @@ class GLS:
         return fal_baluev(
             self.signal.time, self.err, fap,
             fmax=float(self.frequency[-1]), psd=self.psd,
+            fit_mean=self.fit_mean,
         )
 
     def refine(self, n_peaks=1, zoom=32, width=2.0, fit_mean=None):
@@ -481,30 +483,32 @@ class GLS:
         return TSeries(tf, yf)
 
 
-def fap_baluev(t, err, z, fmax, psd=False):
+def fap_baluev(t, err, z, fmax, psd=False, fit_mean=True):
     """Analytic false-alarm probability of the maximum periodogram power.
 
     Baluev (2008, MNRAS 385, 1279) aliasing-free upper bound for the
-    floating-mean Lomb-Scargle scanned up to ``fmax``:
+    Lomb-Scargle periodogram scanned up to ``fmax``:
     ``FAP(z) <= 1 - (1 - FAP_single(z)) * exp(-tau(z))`` with the Davies
-    bound ``tau = W * (1-z)^((Nk-1)/2) * sqrt(Nk z / 2)`` (standard
+    bound ``tau = W * (1-z)^((Nk-1)/2) * sqrt(Nh z / 2)`` (standard
     normalization, power in [0, 1]) or ``tau = W exp(-z) sqrt(z)`` (psd),
-    ``W = fmax * sqrt(4 pi var_w(t))``. The bound is tight for
+    ``W = fmax * sqrt(4 pi var_w(t))``. Degrees of freedom follow the
+    model: ``fit_mean=True`` (floating mean) gives Nh = N - 1, Nk = N - 3;
+    ``fit_mean=False`` gives Nh = N, Nk = N - 2. The bound is tight for
     FAP <~ 0.1 — the regime where detection claims live. Host-side numpy
     (a handful of scalars; nothing to accelerate).
 
     The reference offers only the bootstrap estimate (spectral.py:154-163),
     which re-enters the full periodogram per replicate; this closed form
-    needs none. Small-sample caveat: requires N > 4 (Nk = N - 3 degrees
-    of freedom).
+    needs none. Small-sample caveat: requires Nk > 1.
     """
     t = np.asarray(t, float)
     w = np.asarray(err, float) ** -2.0
     w = w / w.sum()
     n = t.size
-    if n <= 4:
-        raise ValueError("Baluev FAP needs N > 4 samples")
-    nk = n - 3
+    nh = n - 1 if fit_mean else n
+    nk = n - 3 if fit_mean else n - 2
+    if nk <= 1:
+        raise ValueError(f"Baluev FAP needs more samples (Nk = {nk})")
     tbar = np.dot(w, t)
     teff = np.sqrt(4.0 * np.pi * np.dot(w, (t - tbar) ** 2))
     big_w = fmax * teff
@@ -516,13 +520,14 @@ def fap_baluev(t, err, z, fmax, psd=False):
     else:
         zc = np.clip(z, 0.0, 1.0)
         fap1 = (1.0 - zc) ** (0.5 * nk)
-        tau = big_w * (1.0 - zc) ** (0.5 * (nk - 1)) * np.sqrt(0.5 * nk * zc)
+        tau = big_w * (1.0 - zc) ** (0.5 * (nk - 1)) * np.sqrt(0.5 * nh * zc)
     # 1 - (1 - fap1) exp(-tau), rearranged so small-FAP tails (the
     # detection regime, fap1 and tau both << 1) don't cancel to 0.0
     return fap1 * np.exp(-tau) - np.expm1(-tau)
 
 
-def fal_baluev(t, err, fap, fmax, psd=False, tol=1e-12, max_iter=200):
+def fal_baluev(t, err, fap, fmax, psd=False, fit_mean=True, tol=1e-12,
+               max_iter=200):
     """Power level whose Baluev FAP equals ``fap`` (inverse of
     :func:`fap_baluev` by bisection; the FAP is monotone decreasing in z)."""
     target = float(fap)
@@ -531,13 +536,15 @@ def fal_baluev(t, err, fap, fmax, psd=False, tol=1e-12, max_iter=200):
     lo, hi = 0.0, 1.0
     if psd:
         hi = 1.0
-        while fap_baluev(t, err, hi, fmax, psd=True) > target:
+        while fap_baluev(t, err, hi, fmax, psd=True,
+                         fit_mean=fit_mean) > target:
             hi *= 2.0
             if hi > 1e12:
                 break
     for _ in range(max_iter):
         mid = 0.5 * (lo + hi)
-        if fap_baluev(t, err, mid, fmax, psd=psd) > target:
+        if fap_baluev(t, err, mid, fmax, psd=psd,
+                      fit_mean=fit_mean) > target:
             lo = mid
         else:
             hi = mid

@@ -291,3 +291,53 @@ def test_bls_batch_matches_per_series():
             np.testing.assert_allclose(
                 np.asarray(bt[b]), np.asarray(st), rtol=1e-12
             )
+
+
+def test_bls_attrs_aligned_with_periodogram_order():
+    """FSeries sorts by ascending frequency (reversing the ascending-period
+    scan order); the per-period attrs must ride the same permutation so
+    attrs[i] describes values[i]."""
+    from periodicity_tpu.phase import BLS
+
+    period, depth, q = 5.17, 0.02, 0.05
+    t, y = _transit(period=period, q=q, depth=depth, noise=0.003)
+    bls = BLS(durations=(0.02, 0.05, 0.1), nbins=256, p_min=2.0, p_max=20.0,
+              n_periods=4000)
+    pg = bls(TSeries(t, y), err=np.full(t.size, 0.003))
+    i = int(np.argmax(np.asarray(pg.values)))
+    assert float(np.asarray(pg.period)[i]) == pytest.approx(
+        bls.best_period, rel=1e-12
+    )
+    assert float(np.asarray(pg.attrs["depth"])[i]) == pytest.approx(
+        bls.best_depth, rel=1e-12
+    )
+    assert float(np.asarray(pg.attrs["duration"])[i]) == pytest.approx(
+        bls.best_duration, rel=1e-12
+    )
+    assert float(np.asarray(pg.attrs["transit_time"])[i]) == pytest.approx(
+        bls.best_transit_time, rel=1e-12
+    )
+
+
+def test_bls_transit_time_wraps_into_period_range():
+    """A transit centered at phase 0 (box straddling the fold boundary)
+    must still report an epoch in [0, P)."""
+    from periodicity_tpu.phase import BLS
+
+    period, depth, q = 5.17, 0.02, 0.05
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.uniform(0, 60.0, 800))
+    phi = (t / period) % 1.0
+    in_tr = (phi < q / 2) | (phi > 1.0 - q / 2)
+    y = np.where(in_tr, -depth, 0.0) + 0.003 * rng.standard_normal(800)
+    bls = BLS(durations=(0.02, 0.05, 0.1), nbins=256, p_min=2.0, p_max=20.0,
+              n_periods=4000)
+    pg = bls(TSeries(t, y), err=np.full(t.size, 0.003))
+    assert bls.best_period == pytest.approx(period, rel=0.01)
+    assert 0.0 <= bls.best_transit_time < bls.best_period
+    tt = np.asarray(pg.attrs["transit_time"])
+    periods_sorted = np.asarray(pg.period)
+    assert np.all(tt >= 0.0) and np.all(tt < periods_sorted)
+    # mid-transit phase ~0 (mod 1): distance to the nearest integer phase
+    phase_mid = (bls.best_transit_time / bls.best_period) % 1.0
+    assert min(phase_mid, 1.0 - phase_mid) < 0.02

@@ -500,3 +500,27 @@ def test_gls_power_nfft_override():
     assert np.max(np.abs(p2 - p0)) / scale < 3e-4
     assert np.argmax(p1) == np.argmax(p0)
     assert np.argmax(p2) == np.argmax(p0)
+
+
+def test_baluev_fap_fit_mean_dispatch():
+    """fit_mean=False has different degrees of freedom (Nh=N, Nk=N-2);
+    the estimator surface must dispatch on the model it actually scanned."""
+    from periodicity_tpu.spectral import fap_baluev
+
+    rng = np.random.default_rng(12)
+    t = np.sort(rng.uniform(0, 30, 40))
+    err = np.full(40, 1.0)
+    f_mean = float(fap_baluev(t, err, 0.35, fmax=3.0, fit_mean=True))
+    f_nomean = float(fap_baluev(t, err, 0.35, fmax=3.0, fit_mean=False))
+    assert f_mean != f_nomean  # different null distributions
+    # estimator surface: a fit_mean=False scan uses the matching dof
+    y = rng.standard_normal(40)
+    gls = GLS()
+    gls(TSeries(t, y), err=err, fit_mean=False)
+    zmax = float(np.asarray(gls.periodogram.values).max())
+    expected = float(fap_baluev(t, err, zmax,
+                                fmax=float(gls.frequency[-1]),
+                                fit_mean=False))
+    assert float(gls.fap(zmax, method="baluev")) == pytest.approx(expected)
+    z = gls.fal(0.1, method="baluev")
+    assert gls.fap(z, method="baluev") == pytest.approx(0.1, rel=1e-6)
