@@ -42,20 +42,32 @@ def main():
     # be cached or overlapped with host transfers), then one scalar readback
     k_iters = 20
 
-    @jax.jit
-    def loop(y):
-        def body(_, carry):
-            y, acc = carry
-            # fmin = df/2 -> conjugate-symmetry pairing: 2 grid+FFT
-            # pipelines per periodogram instead of 3; grids built by the
-            # Pallas one-hot MXU kernel (sorted, non-wrapping positions)
-            p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1,
-                          gridder="pallas")
-            return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
+    def make_loop(gridder):
+        @jax.jit
+        def loop(y):
+            def body(_, carry):
+                y, acc = carry
+                # fmin = df/2 -> conjugate-symmetry pairing: 2 grid+FFT
+                # pipelines per periodogram instead of 3; grids built by the
+                # Pallas one-hot MXU kernel (sorted, non-wrapping positions)
+                p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1,
+                              gridder=gridder)
+                return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
 
-        return jax.lax.fori_loop(0, k_iters, body, (y, jnp.float32(0.0)))[1]
+            return jax.lax.fori_loop(
+                0, k_iters, body, (y, jnp.float32(0.0))
+            )[1]
 
-    loop(yj).block_until_ready()  # compile
+        return loop
+
+    try:
+        loop = make_loop("pallas")
+        loop(yj).block_until_ready()  # compile
+    except Exception as e:  # Mosaic lowering/backends without Pallas
+        print(f"# pallas gridder unavailable ({type(e).__name__}); "
+              "falling back to scatter", flush=True)
+        loop = make_loop("scatter")
+        loop(yj).block_until_ready()
     times = []
     for i in range(3):
         yi = yj + np.float32(1e-5 * (i + 1))
