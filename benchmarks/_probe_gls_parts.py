@@ -77,18 +77,20 @@ def main():
         ilo = inds[:, 0].astype(jnp.int32)
         rot = _phase_factor(fmin, trel, jnp.float32, jnp.complex64)
 
-        @jax.jit
-        def grid_only(w):
-            def body(_, carry):
-                w, acc = carry
-                u = (w.astype(jnp.complex64)) * rot
-                gre, gim = extirpolate_grid_factored(
-                    ilo, u.real, u.imag, lag, NFFT)
-                return (w + gre[: w.shape[0]] * 1e-9, acc + gre[0])
-            return jax.lax.fori_loop(0, K, body, (w, jnp.float32(0.0)))[1]
+        for von_m in (False, True):
+            @jax.jit
+            def grid_only(w, von_m=von_m):
+                def body(_, carry):
+                    w, acc = carry
+                    u = (w.astype(jnp.complex64)) * rot
+                    gre, gim = extirpolate_grid_factored(
+                        ilo, u.real, u.imag, lag, NFFT, value_on_m=von_m)
+                    return (w + gre[: w.shape[0]] * 1e-9, acc + gre[0])
+                return jax.lax.fori_loop(
+                    0, K, body, (w, jnp.float32(0.0)))[1]
 
-        print("pallas grid 2^23:", timeit(grid_only, yj), "s/iter",
-              flush=True)
+            print(f"pallas grid 2^23 value_on_m={von_m}:",
+                  timeit(grid_only, yj), "s/iter", flush=True)
 
     if "fft" in parts:
         for nfft in (1 << 23, 1 << 22):

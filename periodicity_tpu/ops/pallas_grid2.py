@@ -49,7 +49,7 @@ _NBINS = _ROWS
 
 
 def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
-            *rest, taps, rows):
+            *rest, taps, rows, value_on_m):
     lag_refs = rest[:taps]
     out_re_ref, out_im_ref = rest[taps], rest[taps + 1]
     b = pl.program_id(0)
@@ -82,17 +82,21 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
             bin_j = c_safe >> shift  # -1 for invalid -> matches no row
             h_j = c_safe & (_BINW - 1)
             m = (iota_bins == bin_j[None, :]).astype(jnp.float32)
-            # exact 0/1 lane selector; the VALUES ride on the m side (the
-            # [rows, ALIGN] matrix, 4x smaller than sel's [ALIGN, BINW]) —
-            # scaling m by v[None, :] costs a [rows, ALIGN] FMA where the
-            # former where(sel, v[:, None], 0) cost a [ALIGN, BINW] select;
-            # the kernel is VPU-bound, so the small side should carry them
-            sel = (iota_h == h_j[:, None]).astype(jnp.float32)
+            if value_on_m:
+                # candidate variant: the VALUES ride on the m side (the
+                # [rows, ALIGN] matrix, 4x smaller than sel's
+                # [ALIGN, BINW]) — scaling m by v[None, :] costs a
+                # [rows, ALIGN] FMA where where(sel, v[:, None], 0) costs
+                # an [ALIGN, BINW] select; if the kernel is VPU-bound the
+                # small side should carry them (pending on-device ruling)
+                sel_f = (iota_h == h_j[:, None]).astype(jnp.float32)
+            else:
+                sel = iota_h == h_j[:, None]
             # The TPU matmul truncates f32 inputs to bf16 (measured 4e-3
             # relative grid error at default precision; HIGHEST emulation
-            # blows the VMEM budget). The one-hot sel is bf16-exact, so
-            # split each VALUE into a bf16 head plus an f32 tail before it
-            # enters the MXU: two exact-head dots per plane bound the
+            # blows the VMEM budget). The one-hot operand is bf16-exact,
+            # so split each VALUE into a bf16 head plus an f32 tail before
+            # it enters the MXU: two exact-head dots per plane bound the
             # error at ~bf16_eps^2 ~ 1.6e-5 relative.
             v_re = ure_w * lag_w
             v_im = uim_w * lag_w
@@ -103,14 +107,24 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
                     v_re, v_im = v_re - vr, v_im - vi
                 else:
                     vr, vi = v_re, v_im
-                acc_re = acc_re + jnp.dot(
-                    m * vr[None, :], sel,
-                    preferred_element_type=jnp.float32,
-                )
-                acc_im = acc_im + jnp.dot(
-                    m * vi[None, :], sel,
-                    preferred_element_type=jnp.float32,
-                )
+                if value_on_m:
+                    acc_re = acc_re + jnp.dot(
+                        m * vr[None, :], sel_f,
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc_im = acc_im + jnp.dot(
+                        m * vi[None, :], sel_f,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    acc_re = acc_re + jnp.dot(
+                        m, jnp.where(sel, vr[:, None], 0.0),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc_im = acc_im + jnp.dot(
+                        m, jnp.where(sel, vi[:, None], 0.0),
+                        preferred_element_type=jnp.float32,
+                    )
         return chunk + _ALIGN, acc_re, acc_im
 
     chunk0 = (s // _ALIGN) * _ALIGN
@@ -122,12 +136,18 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
     out_im_ref[...] = acc_im
 
 
-@partial(jax.jit, static_argnames=("nfft", "interpret"))
-def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False):
+@partial(jax.jit, static_argnames=("nfft", "interpret", "value_on_m"))
+def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False,
+                              value_on_m=False):
     """Spread u * lag[:, j] at sorted bases ilo [N]: the factored form the
     trig-sum pipelines produce (u = complex weights x phase rotation, lag =
     [N, taps] Lagrange weights; taps static from the shape). Returns
-    (grid_re, grid_im) [nfft] f32."""
+    (grid_re, grid_im) [nfft] f32.
+
+    ``value_on_m`` selects the candidate inner form that carries sample
+    values on the small bin-match matrix instead of the lane selector
+    (identical results; an on-device A/B knob, default = the measured
+    production form)."""
     taps = lag.shape[1]
     # adapt the superblock height to small grids (e.g. the f32 half-size
     # 2f grid); nfft and _LANES are powers of two, so rows always divides
@@ -164,7 +184,7 @@ def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False):
         ],
     )
     out_re, out_im = pl.pallas_call(
-        partial(_kernel, taps=taps, rows=rows),
+        partial(_kernel, taps=taps, rows=rows, value_on_m=value_on_m),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nfft // _LANES, _LANES), jnp.float32),
