@@ -13,6 +13,7 @@ Usage: python benchmarks/_probe_gls_parts.py [part ...]
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -72,25 +73,36 @@ def main():
         print("full gls_power:", timeit(full, yj), "s/iter", flush=True)
 
     if "grid" in parts:
-        trel = tj - tj.min()
-        inds, lag = _extirpolate_weights(trel, df, NFFT, jnp.float32)
-        ilo = inds[:, 0].astype(jnp.int32)
-        rot = _phase_factor(fmin, trel, jnp.float32, jnp.complex64)
+        # precompute positions/rotation as jit ARGUMENTS: closure-captured
+        # device arrays get inlined as MLIR constants, which forces a
+        # device->host readback the relay can't do for complex arrays
+        @jax.jit
+        def precompute(tj):
+            trel = tj - tj.min()
+            inds, lag = _extirpolate_weights(trel, df, NFFT, jnp.float32)
+            ilo = inds[:, 0].astype(jnp.int32)
+            rot = _phase_factor(fmin, trel, jnp.float32, jnp.complex64)
+            return ilo, lag, rot.real, rot.imag
+
+        ilo, lag, rot_re, rot_im = precompute(tj)
 
         for von_m in (False, True):
-            @jax.jit
-            def grid_only(w, von_m=von_m):
+            @partial(jax.jit, static_argnames=("von_m",))
+            def grid_only(w, ilo, lag, rot_re, rot_im, von_m=von_m):
                 def body(_, carry):
                     w, acc = carry
-                    u = (w.astype(jnp.complex64)) * rot
+                    ure = w * rot_re
+                    uim = w * rot_im
                     gre, gim = extirpolate_grid_factored(
-                        ilo, u.real, u.imag, lag, NFFT, value_on_m=von_m)
+                        ilo, ure, uim, lag, NFFT, value_on_m=von_m)
                     return (w + gre[: w.shape[0]] * 1e-9, acc + gre[0])
                 return jax.lax.fori_loop(
                     0, K, body, (w, jnp.float32(0.0)))[1]
 
+            fn = lambda w, von_m=von_m: grid_only(
+                w, ilo, lag, rot_re, rot_im, von_m=von_m)
             print(f"pallas grid 2^23 value_on_m={von_m}:",
-                  timeit(grid_only, yj), "s/iter", flush=True)
+                  timeit(fn, yj), "s/iter", flush=True)
 
     if "fft" in parts:
         for nfft in (1 << 23, 1 << 22):

@@ -87,8 +87,10 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
                 # [rows, ALIGN] matrix, 4x smaller than sel's
                 # [ALIGN, BINW]) — scaling m by v[None, :] costs a
                 # [rows, ALIGN] FMA where where(sel, v[:, None], 0) costs
-                # an [ALIGN, BINW] select; if the kernel is VPU-bound the
-                # small side should carry them (pending on-device ruling)
+                # an [ALIGN, BINW] select. ON-DEVICE RULING (v5e,
+                # N=1e5/nfft=2^23): 6.56 ms vs 6.41 ms for the production
+                # form — 2.4% SLOWER; the kernel is not select-bound, so
+                # the default stays False. Kept as the A/B harness.
                 sel_f = (iota_h == h_j[:, None]).astype(jnp.float32)
             else:
                 sel = iota_h == h_j[:, None]
