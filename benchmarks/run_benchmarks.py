@@ -558,6 +558,101 @@ def config11_bls():
     }
 
 
+def config12_multiterm():
+    """Multi-term (nterms=3) harmonic GLS scan, N=1e4, fast path: the
+    (2K+1)-square normal equations assembled from 3K Press-Rybicki
+    pipelines + batched MXU solves (beyond reference — the reference GLS
+    is single-sinusoid only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.spectral import gls_power_multiterm
+
+    n = 10_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100.0, n)).astype(np.float32)
+    y = (
+        np.sin(2 * np.pi * t / 7.7)
+        + 0.5 * np.sin(4 * np.pi * t / 7.7 + 0.4)
+        + 0.3 * rng.standard_normal(n)
+    ).astype(np.float32)
+    err = np.full(n, 0.3, np.float32)
+    df = np.float32(1.0 / (100.0 * 5))
+    fmin = np.float32(df / 2)
+    nf = int((0.5 * n / 100.0) / df)
+    tj, yj, ej = jnp.asarray(t), jnp.asarray(y), jnp.asarray(err)
+    k = 10
+
+    @jax.jit
+    def loop(y):
+        def body(_, carry):
+            y, acc = carry
+            p = gls_power_multiterm(tj, y, ej, df, fmin, nf, 3)
+            return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
+
+        return jax.lax.fori_loop(0, k, body, (y, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(yj))) / k
+    return {
+        "metric": "multiterm_gls_k3_freqs_per_sec_N1e4",
+        "value": nf / dt,
+        "unit": "freqs/sec",
+        "detail": {"nf": nf, "nterms": 3, "ms_per_scan": dt * 1e3},
+    }
+
+
+def config13_nuts():
+    """NUTS gradient-based sampling throughput on the BrownianGP
+    posterior shape (SpottedStar, N=2148): leapfrog-gradient evaluations
+    per second — each one is a forward+adjoint sweep of the celerite scan
+    solver under jax.grad (the role of the reference's dead
+    celerite2.theano backend, gp.py:541-637)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.data import SpottedStar
+    from periodicity_tpu.models.gp.nuts import run_nuts
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm
+
+    t, y, dy = SpottedStar()
+    tj = jnp.asarray(t, jnp.float32)
+    yj = jnp.asarray((y - y.mean()), jnp.float32)
+    diag = jnp.asarray(dy**2, jnp.float32)
+
+    def log_prob(w):
+        term = BrownianTerm(
+            0.01 * jnp.exp(w[0]), 20.0 * jnp.exp(w[1]),
+            10.0 * jnp.exp(w[2]), 0.3 * jax.nn.sigmoid(w[3]),
+        )
+        ll = log_likelihood(term, tj, diag, yj)
+        return jnp.where(jnp.isfinite(ll), ll, -1e25) - 0.5 * jnp.sum(w**2)
+
+    n_chains, n_steps, n_warmup = 4, 40, 60
+    x0 = jnp.zeros((n_chains, 4), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    state = {}
+
+    def run():
+        out = run_nuts(log_prob, x0, key, n_steps, n_warmup=n_warmup,
+                       max_depth=6)
+        state["n_leapfrog"] = int(np.sum(np.asarray(out["n_leapfrog"])))
+        return float(np.asarray(out["log_probs"])[-1, 0])
+
+    dt = _sync_time(run, reps=2)
+    # count only post-warmup leapfrogs; warmup adds ~n_warmup/n_steps more
+    evals_per_sec = state["n_leapfrog"] / dt
+    return {
+        "metric": "nuts_leapfrog_grad_evals_per_sec_N2148",
+        "value": evals_per_sec,
+        "unit": "grad-evals/sec",
+        "detail": {"n_chains": n_chains, "n_steps": n_steps,
+                   "n_leapfrog_sampling": state["n_leapfrog"],
+                   "seconds_per_run": dt},
+    }
+
+
 CONFIGS = {
     1: config1_gls,
     2: config2_acf,
@@ -570,12 +665,14 @@ CONFIGS = {
     9: config9_hht_batch,
     10: config10_ceemdan,
     11: config11_bls,
+    12: config12_multiterm,
+    13: config13_nuts,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10,11")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10,11,12,13")
     args = ap.parse_args()
     for c in [int(x) for x in args.configs.split(",")]:
         if c not in CONFIGS:

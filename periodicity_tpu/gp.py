@@ -17,6 +17,7 @@ from .models.gp import (
     make_gaussian_prior,
     make_ppf,
     run_ensemble,
+    run_nuts,
 )
 
 __all__ = [

@@ -2,6 +2,7 @@
 on-device ensemble MCMC, period priors)."""
 
 from .mcmc import autocorr_time, run_ensemble
+from .nuts import run_nuts
 from .modelers import (
     BrownianGP,
     CeleriteModeler,
@@ -32,5 +33,6 @@ __all__ = [
     "Term",
     "TermSum",
     "run_ensemble",
+    "run_nuts",
     "autocorr_time",
 ]

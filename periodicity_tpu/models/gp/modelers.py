@@ -28,6 +28,7 @@ from ...core import TSeries
 from ...ops.optimize import lbfgs_box
 from ...utils.logging import log_event
 from . import mcmc as _mcmc
+from .nuts import run_nuts
 from .pscan import (log_likelihood_blocked, log_likelihood_pscan,
                     log_likelihood_sharded)
 from .solver import GaussianProcess, log_likelihood
@@ -102,6 +103,19 @@ class CeleriteModeler:
         self._lp_jit = jax.jit(self._log_prob_u)
 
     # -- pure functions of the hypercube vector ------------------------------
+    def _log_prob_x(self, x):
+        """Unconstrained-space log posterior for gradient-based sampling:
+        x in R^ndim, u = 100*sigmoid(x), plus the log-Jacobian of the
+        transform (so the density over x matches the hypercube posterior)."""
+        u = 100.0 * jax.nn.sigmoid(x)
+        u = jnp.clip(u, 0.0101, 99.9899)
+        ll = -self._nll_u(u)
+        ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+        log_jac = jnp.sum(
+            jnp.log(100.0) + jax.nn.log_sigmoid(x) + jax.nn.log_sigmoid(-x)
+        )
+        return ll + log_jac
+
     def _build(self, u):
         params = dict(self.prior_transform(u))
         mean = params.pop("mean")
@@ -267,6 +281,67 @@ class CeleriteModeler:
                 jax.lax.map(one_psd, jnp.asarray(samples), batch_size=64)
             )
         self.sampler = types.SimpleNamespace(chain=self.chain, acceptance=self.acceptance)
+        return trace, tau
+
+    def nuts(self, n_chains=4, n_steps=1000, n_warmup=500, burn=0,
+             max_depth=8, target_accept=0.8, psd_at=None, random_seed=None):
+        """Gradient-based posterior sampling with the on-device NUTS
+        sampler: exact jax gradients through the celerite solver, in the
+        logit-unconstrained image of the unit hypercube.
+
+        This fills the role of the reference's dead ``celerite2.theano``
+        backend (gp.py:541-637 — advertised in README.md:31 but fully
+        commented out): gradient-based MCMC over the same posterior the
+        ensemble sampler targets. Chains are initialized around the MLE
+        and adapt step size + diagonal mass independently.
+
+        Returns (trace dict, tau) like :meth:`mcmc`; also sets
+        ``self.chain`` (hypercube coordinates), ``self.acceptance`` and
+        ``self.nuts_diagnostics`` (divergence counts, step sizes, mass).
+        """
+        log_event("gp_nuts", modeler=type(self).__name__,
+                  n=self.signal.size, n_chains=n_chains, n_steps=n_steps,
+                  n_warmup=n_warmup, solver=self.solver)
+        key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
+        k_init, k_run = jax.random.split(key)
+        soln, _ = self.minimize(self.gp)
+        frac = jnp.clip(jnp.asarray(soln.x) / 100.0, 1e-4, 1 - 1e-4)
+        x_mle = jnp.log(frac / (1 - frac))
+        x0 = x_mle[None, :] + 0.1 * jax.random.normal(
+            k_init, (n_chains, self.ndim)
+        )
+        out = run_nuts(self._log_prob_x, x0, k_run, int(n_steps),
+                       n_warmup=int(n_warmup), max_depth=max_depth,
+                       target_accept=target_accept)
+        chain_u = 100.0 * jax.nn.sigmoid(out["chain"])
+        self.chain = np.asarray(chain_u)
+        self.acceptance = float(jnp.mean(out["accept_prob"]))
+        self.nuts_diagnostics = {
+            "divergences": np.asarray(out["divergences"]),
+            "step_size": np.asarray(out["step_size"]),
+            "inv_mass": np.asarray(out["inv_mass"]),
+            "tree_depth": np.asarray(out["tree_depth"]),
+        }
+        log_event("gp_nuts_done", modeler=type(self).__name__,
+                  acceptance=self.acceptance,
+                  divergences=int(np.sum(self.nuts_diagnostics["divergences"])))
+        samples = self.chain[burn:].reshape(-1, self.ndim)
+        tau = _mcmc.autocorr_time(self.chain[burn:])
+        trace = self.prior_transform(jnp.asarray(samples.T))
+        trace = {k: np.asarray(v) for k, v in dict(trace).items()}
+        if psd_at is not None:
+            omega = 2 * jnp.pi * jnp.asarray(psd_at)
+
+            def one_psd(u):
+                kernel, _, _ = self._build(u)
+                return kernel.get_psd(omega)
+
+            self.psds = np.asarray(
+                jax.lax.map(one_psd, jnp.asarray(samples), batch_size=64)
+            )
+        self.sampler = types.SimpleNamespace(
+            chain=self.chain, acceptance=self.acceptance
+        )
         return trace, tau
 
 
@@ -514,6 +589,44 @@ class GeorgeModeler:
         samples = self.chain[burn:].reshape(-1, self.ndim)
         tau = _mcmc.autocorr_time(self.chain[burn:])
         self.sampler = types.SimpleNamespace(chain=self.chain, acceptance=self.acceptance)
+        return samples.T, tau
+
+    def nuts(self, n_chains=4, n_steps=1000, n_warmup=500, burn=0,
+             max_depth=8, target_accept=0.8, random_seed=None):
+        """Gradient-based posterior sampling (NUTS) in parameter space,
+        with exact jax gradients through the dense-Cholesky likelihood.
+        Counterpart of :meth:`CeleriteModeler.nuts`; the QP posterior's
+        hard tau/period constraint shows up as divergences at the
+        boundary, which the sampler rejects. Returns (samples.T, tau)
+        like :meth:`mcmc`."""
+        log_event("gp_nuts", modeler=type(self).__name__,
+                  n=self.signal.size, n_chains=n_chains, n_steps=n_steps,
+                  n_warmup=n_warmup)
+        key = jax.random.PRNGKey(0 if random_seed is None else random_seed)
+        k_init, k_run = jax.random.split(key)
+        soln, _ = self.minimize()
+        x0 = jnp.asarray(soln.x)[None, :] + 1e-3 * jax.random.normal(
+            k_init, (n_chains, self.ndim)
+        )
+        out = run_nuts(self._log_prob_theta, x0, k_run, int(n_steps),
+                       n_warmup=int(n_warmup), max_depth=max_depth,
+                       target_accept=target_accept)
+        self.chain = np.asarray(out["chain"])
+        self.acceptance = float(jnp.mean(out["accept_prob"]))
+        self.nuts_diagnostics = {
+            "divergences": np.asarray(out["divergences"]),
+            "step_size": np.asarray(out["step_size"]),
+            "inv_mass": np.asarray(out["inv_mass"]),
+            "tree_depth": np.asarray(out["tree_depth"]),
+        }
+        log_event("gp_nuts_done", modeler=type(self).__name__,
+                  acceptance=self.acceptance,
+                  divergences=int(np.sum(self.nuts_diagnostics["divergences"])))
+        samples = self.chain[burn:].reshape(-1, self.ndim)
+        tau = _mcmc.autocorr_time(self.chain[burn:])
+        self.sampler = types.SimpleNamespace(
+            chain=self.chain, acceptance=self.acceptance
+        )
         return samples.T, tau
 
 

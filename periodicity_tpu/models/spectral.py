@@ -33,7 +33,7 @@ from ..ops.trig_sum import (
 )
 from ..utils.logging import log_event
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "gls_power_multiterm", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
 
 
 def _nfft_2f(dtype, nf):
@@ -301,6 +301,120 @@ def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
     return jnp.nanmax(powers, axis=1)
 
 
+@partial(jax.jit, static_argnames=("nf", "nterms", "fit_mean", "psd",
+                                   "method", "taps"))
+def gls_power_multiterm(t, y, err, df, fmin, nf, nterms, fit_mean=True,
+                        psd=False, method="fast", taps=12):
+    """Multi-term (harmonic) Lomb-Scargle power on a uniform grid.
+
+    Model per trial frequency f (VanderPlas & Ivezic 2015; astropy's
+    ``nterms`` / "fastchi2" capability — absent from the reference, whose
+    GLS is single-sinusoid only, spectral.py:43-204):
+
+        y(t) ~ c0 + sum_{m=1..K} a_m cos(2 pi m f t) + b_m sin(2 pi m f t)
+
+    Power = weighted regression ESS / total SS, which reduces EXACTLY to
+    the floating-mean GLS power at ``nterms=1``. Harmonic-rich signals
+    (eclipsing binaries, transit-like dips, sawtooth rotators) concentrate
+    power at the true frequency instead of splitting it across harmonics.
+
+    ``method="fast"`` assembles the (2K+1)-square normal equations from
+    Press-Rybicki trig sums: every entry is a trig sum of w at harmonic
+    q*f (q <= 2K) or of w*y at m*f (m <= K) via the product-to-sum
+    identities, so the whole scan costs 3K extirpolation+FFT pipelines
+    plus batched tiny solves on the MXU — O(K*(N + nfft log nfft)) instead
+    of the direct O(K^2 * nf * N). ``method="direct"`` evaluates the exact
+    design per frequency for validation. A relative ~1e-12 Tikhonov ridge
+    keeps the low-frequency end (where harmonic columns become collinear
+    with the constant) solvable in both paths.
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    err = jnp.asarray(err)
+    K = int(nterms)
+    w = err ** -2.0
+    w = w / jnp.sum(w)
+    if fit_mean:
+        y = y - jnp.dot(w, y)
+    YY = jnp.dot(w, y**2)
+    ncols = 2 * K + (1 if fit_mean else 0)
+    dtype = jnp.result_type(t.dtype, y.dtype, err.dtype, jnp.float32)
+    ones = jnp.ones(nf, dtype)
+    zeros = jnp.zeros(nf, dtype)
+
+    if method == "fast":
+        nfft = 2 * grid_size(nf, 5)
+        Cq = [jnp.sum(w) * ones]
+        Sq = [zeros]
+        for q in range(1, 2 * K + 1):
+            S_, C_ = trig_sum(t, w, q * df, nf, q * fmin, nfft=nfft,
+                              taps=taps)
+            Cq.append(C_)
+            Sq.append(S_)
+        Cy, Sy = [None], [None]
+        for m in range(1, K + 1):
+            S_, C_ = trig_sum(t, w * y, m * df, nf, m * fmin, nfft=nfft,
+                              taps=taps)
+            Cy.append(C_)
+            Sy.append(S_)
+
+        def Cd(q):
+            return Cq[abs(q)]
+
+        def Sd(q):
+            return -Sq[-q] if q < 0 else Sq[q]
+
+        # column order: [1?, cos(1f), sin(1f), ..., cos(Kf), sin(Kf)]
+        rows = []
+        bcols = []
+        if fit_mean:
+            rows.append([jnp.sum(w) * ones]
+                        + [x for m in range(1, K + 1) for x in (Cq[m], Sq[m])])
+            bcols.append(jnp.dot(w, y) * ones)
+        for m in range(1, K + 1):
+            # cos(m f) row
+            row = [Cq[m]] if fit_mean else []
+            for l in range(1, K + 1):
+                row.append(0.5 * (Cd(m - l) + Cq[m + l]))   # cos.cos
+                row.append(0.5 * (Sq[m + l] + Sd(l - m)))   # cos.sin
+            rows.append(row)
+            bcols.append(Cy[m])
+            # sin(m f) row
+            row = [Sq[m]] if fit_mean else []
+            for l in range(1, K + 1):
+                row.append(0.5 * (Sq[m + l] + Sd(m - l)))   # sin.cos
+                row.append(0.5 * (Cd(m - l) - Cq[m + l]))   # sin.sin
+            rows.append(row)
+            bcols.append(Sy[m])
+        G = jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )  # [nf, D, D]
+        bvec = jnp.stack(bcols, axis=-1)  # [nf, D]
+        ridge = 1e-12 * jnp.sum(w) * jnp.eye(ncols, dtype=dtype)
+        theta = jnp.linalg.solve(G + ridge, bvec[..., None])[..., 0]
+        power = jnp.sum(bvec * theta, axis=-1) / YY
+    else:
+        freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
+        ridge = 1e-12 * jnp.sum(w) * jnp.eye(ncols, dtype=dtype)
+
+        def one(f):
+            ph = 2 * jnp.pi * f * t
+            cols = ([jnp.ones_like(t)] if fit_mean else []) + [
+                fn(m * ph) for m in range(1, K + 1) for fn in (jnp.cos, jnp.sin)
+            ]
+            X = jnp.stack(cols, axis=1)
+            Xw = X * w[:, None]
+            G = X.T @ Xw
+            bvec = Xw.T @ y
+            theta = jnp.linalg.solve(G + ridge, bvec)
+            return bvec @ theta / YY
+
+        power = jax.lax.map(one, freqs, batch_size=256)
+    if psd:
+        return power * YY * 0.5 * jnp.sum(err ** -2.0)
+    return power
+
+
 class GLS:
     """Generalized Lomb-Scargle periodogram (reference spectral.py:43-204).
 
@@ -308,13 +422,17 @@ class GLS:
     """
 
     def __init__(self, fmin=None, fmax=None, n=5, psd=False, method="fast",
-                 gridder="auto"):
+                 gridder="auto", nterms=1):
         self.fmin = fmin
         self.fmax = fmax
         self.n = n
         self.psd = psd
         self.method = method
         self.gridder = gridder
+        # nterms > 1: harmonic model (beyond-reference; astropy-style).
+        # Power generalizes the floating-mean GLS to K Fourier terms and
+        # reduces exactly to it at K=1 (see gls_power_multiterm).
+        self.nterms = int(nterms)
 
     def __call__(self, signal, err=None, fit_mean=True):
         if not isinstance(signal, TSeries):
@@ -339,14 +457,21 @@ class GLS:
         log_event(
             "gls", n=signal.size, nf=nf, nfft=grid_size(nf, self.n),
             fit_mean=fit_mean, psd=self.psd, method=self.method,
-            gridder=gridder,
+            gridder=gridder, nterms=self.nterms,
         )
-        power = gls_power(
-            signal.time, signal.values, self.err,
-            df, fmin, nf,
-            fit_mean=fit_mean, psd=self.psd, method=self.method,
-            pair_q=_pair_q(df, fmin, nf), gridder=gridder,
-        )
+        if self.nterms > 1:
+            power = gls_power_multiterm(
+                signal.time, signal.values, self.err,
+                df, fmin, nf, self.nterms,
+                fit_mean=fit_mean, psd=self.psd, method=self.method,
+            )
+        else:
+            power = gls_power(
+                signal.time, signal.values, self.err,
+                df, fmin, nf,
+                fit_mean=fit_mean, psd=self.psd, method=self.method,
+                pair_q=_pair_q(df, fmin, nf), gridder=gridder,
+            )
         self._gridder_resolved = gridder
         self.fit_mean = fit_mean
         self.signal = signal
@@ -355,7 +480,7 @@ class GLS:
 
     def copy(self):
         new = GLS(self.fmin, self.fmax, self.n, self.psd, self.method,
-                  gridder=self.gridder)
+                  gridder=self.gridder, nterms=self.nterms)
         return new
 
     def bootstrap(self, n_bootstraps, random_seed=0, fit_mean=True):
@@ -436,11 +561,18 @@ class GLS:
         for i in sorted(int(j) for j in top):
             f_lo = max(freq[i] - width * df, df * 1e-3)
             df_local = 2 * width * df / (n_local - 1)
-            p_local = gls_power(
-                self.signal.time, self.signal.values, self.err,
-                df_local, f_lo, n_local,
-                fit_mean=fit_mean, psd=self.psd, method="direct",
-            )
+            if self.nterms > 1:
+                p_local = gls_power_multiterm(
+                    self.signal.time, self.signal.values, self.err,
+                    df_local, f_lo, n_local, self.nterms,
+                    fit_mean=fit_mean, psd=self.psd, method="direct",
+                )
+            else:
+                p_local = gls_power(
+                    self.signal.time, self.signal.values, self.err,
+                    df_local, f_lo, n_local,
+                    fit_mean=fit_mean, psd=self.psd, method="direct",
+                )
             segments_f.append(f_lo + df_local * np.arange(n_local))
             segments_p.append(np.asarray(p_local))
         f_all = np.concatenate(segments_f)
@@ -458,28 +590,26 @@ class GLS:
 
     def model(self, tf, f0):
         """Weighted least-squares sinusoid fit at frequency f0, evaluated at
-        times tf (reference spectral.py:169-204)."""
+        times tf (reference spectral.py:169-204). With ``nterms > 1`` the
+        fit includes the K harmonics of f0 (matching the periodogram's
+        model)."""
         t = self.signal.time
         y = self.signal.values
         w = self.err ** -2.0
         y_mean = jnp.dot(y, w) / jnp.sum(w)
         y = y - y_mean
         tf = jnp.asarray(tf)
-        X = (
-            jnp.vstack(
-                [
-                    jnp.ones_like(t),
-                    jnp.sin(2 * jnp.pi * f0 * t),
-                    jnp.cos(2 * jnp.pi * f0 * t),
-                ]
-            )
-            / self.err
-        )
+
+        def design(ts):
+            cols = [jnp.ones_like(ts)]
+            for m in range(1, self.nterms + 1):
+                cols.append(jnp.sin(2 * jnp.pi * m * f0 * ts))
+                cols.append(jnp.cos(2 * jnp.pi * m * f0 * ts))
+            return jnp.vstack(cols)
+
+        X = design(t) / self.err
         theta = jnp.linalg.solve(X @ X.T, X @ (y / self.err))
-        Xf = jnp.vstack(
-            [jnp.ones_like(tf), jnp.sin(2 * jnp.pi * f0 * tf), jnp.cos(2 * jnp.pi * f0 * tf)]
-        )
-        yf = y_mean + Xf.T @ theta
+        yf = y_mean + design(tf).T @ theta
         return TSeries(tf, yf)
 
 

@@ -11,6 +11,7 @@ from .models.spectral import (
     fap_baluev,
     gls_power,
     gls_power_batch,
+    gls_power_multiterm,
 )
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
+__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "gls_power_multiterm", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]

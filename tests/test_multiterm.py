@@ -1,0 +1,118 @@
+"""Multi-term (harmonic) GLS tests: K=1 reduction to floating-mean GLS,
+fast-vs-direct parity, harmonic-signal recovery, estimator surface."""
+
+import numpy as np
+import pytest
+
+from periodicity_tpu.core import TSeries
+from periodicity_tpu.spectral import GLS, gls_power, gls_power_multiterm
+
+
+@pytest.fixture(scope="module")
+def harmonic_signal():
+    rng = np.random.default_rng(0)
+    n = 300
+    t = np.sort(rng.uniform(0, 30, n))
+    period = 3.7
+    y = (
+        np.sin(2 * np.pi * t / period)
+        + 0.5 * np.sin(4 * np.pi * t / period + 0.3)
+        + 0.25 * np.sin(6 * np.pi * t / period + 1.0)
+        + 0.1 * rng.standard_normal(n)
+    )
+    err = np.full(n, 0.1)
+    return t, y, err, period
+
+
+def test_multiterm_k1_reduces_to_gls(harmonic_signal):
+    t, y, err, _ = harmonic_signal
+    df, fmin, nf = 1 / 150.0, 1 / 300.0, 800
+    p_gls = np.asarray(gls_power(t, y, err, df, fmin, nf, method="direct"))
+    p_k1 = np.asarray(
+        gls_power_multiterm(t, y, err, df, fmin, nf, 1, method="direct")
+    )
+    np.testing.assert_allclose(p_k1, p_gls, atol=1e-9)
+
+
+def test_multiterm_fast_matches_direct(harmonic_signal):
+    t, y, err, _ = harmonic_signal
+    df, fmin, nf = 1 / 150.0, 1 / 300.0, 800
+    for k in (2, 3):
+        pf = np.asarray(
+            gls_power_multiterm(t, y, err, df, fmin, nf, k, method="fast")
+        )
+        pd = np.asarray(
+            gls_power_multiterm(t, y, err, df, fmin, nf, k, method="direct")
+        )
+        np.testing.assert_allclose(pf, pd, atol=5e-6)
+
+
+def test_multiterm_concentrates_harmonic_power(harmonic_signal):
+    t, y, err, period = harmonic_signal
+    df, fmin, nf = 1 / 150.0, 1 / 300.0, 800
+    freqs = fmin + df * np.arange(nf)
+    p1 = np.asarray(gls_power_multiterm(t, y, err, df, fmin, nf, 1))
+    p3 = np.asarray(gls_power_multiterm(t, y, err, df, fmin, nf, 3))
+    i0 = np.argmin(np.abs(freqs - 1 / period))
+    # both peak at the fundamental, but the harmonic model captures the
+    # full signal variance there
+    assert abs(freqs[p3.argmax()] - 1 / period) < 2 * df
+    assert p3[i0] > p1[i0] + 0.1
+    assert p3[i0] > 0.9
+
+
+def test_multiterm_estimator_surface(harmonic_signal):
+    t, y, err, period = harmonic_signal
+    sig = TSeries(t, y)
+    gls = GLS(nterms=3)
+    fs = gls(sig, err=err)
+    assert abs(float(fs.period_at_highest_peak) - period) / period < 0.05
+    # refine() drives the multiterm direct path
+    refined = gls.refine(n_peaks=1)
+    assert abs(1.0 / gls.refined_fbest - period) / period < 0.02
+    # model() fits the K harmonics: residual well under the single-term fit
+    tf = np.linspace(t.min(), t.max(), 500)
+    model3 = gls.model(tf, 1.0 / period)
+    gls1 = GLS(nterms=1)
+    gls1(sig, err=err)
+    model1 = gls1.model(tf, 1.0 / period)
+    truth = (
+        np.sin(2 * np.pi * tf / period)
+        + 0.5 * np.sin(4 * np.pi * tf / period + 0.3)
+        + 0.25 * np.sin(6 * np.pi * tf / period + 1.0)
+    )
+    r3 = np.mean((np.asarray(model3.values) - truth) ** 2)
+    r1 = np.mean((np.asarray(model1.values) - truth) ** 2)
+    assert r3 < 0.25 * r1
+    assert r3 < 0.01
+    # copy() carries nterms
+    assert gls.copy().nterms == 3
+
+
+def test_multiterm_fit_mean_false(harmonic_signal):
+    t, y, err, _ = harmonic_signal
+    df, fmin, nf = 1 / 150.0, 1 / 300.0, 400
+    pf = np.asarray(
+        gls_power_multiterm(t, y, err, df, fmin, nf, 2, fit_mean=False,
+                            method="fast")
+    )
+    pd = np.asarray(
+        gls_power_multiterm(t, y, err, df, fmin, nf, 2, fit_mean=False,
+                            method="direct")
+    )
+    np.testing.assert_allclose(pf, pd, atol=5e-6)
+    assert np.all((pf > -1e-9) & (pf < 1 + 1e-9))
+
+
+def test_multiterm_psd_normalization(harmonic_signal):
+    t, y, err, _ = harmonic_signal
+    df, fmin, nf = 1 / 150.0, 1 / 300.0, 400
+    p_std = np.asarray(gls_power_multiterm(t, y, err, df, fmin, nf, 2))
+    p_psd = np.asarray(
+        gls_power_multiterm(t, y, err, df, fmin, nf, 2, psd=True)
+    )
+    w = err**-2.0
+    wn = w / w.sum()
+    yc = y - np.dot(wn, y)
+    yy = np.dot(wn, yc**2)
+    np.testing.assert_allclose(p_psd, p_std * yy * 0.5 * w.sum(), rtol=1e-10)
