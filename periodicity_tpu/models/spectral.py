@@ -33,7 +33,7 @@ from ..ops.trig_sum import (
 )
 from ..utils.logging import log_event
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "gls_power_multiterm", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
+__all__ = ["GLS", "BGLST", "MultibandGLS", "gls_power", "gls_power_batch", "gls_power_multiterm", "gls_power_multiband", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
 
 
 def _nfft_2f(dtype, nf):
@@ -413,6 +413,288 @@ def gls_power_multiterm(t, y, err, df, fmin, nf, nterms, fit_mean=True,
     if psd:
         return power * YY * 0.5 * jnp.sum(err ** -2.0)
     return power
+
+
+def _harmonic_gram_entry(Cq, Sq, a, b):
+    """Weighted Gram-matrix entry <col_a . col_b>_w from trig sums of the
+    weights at harmonic multiples of the trial frequency, via the
+    product-to-sum identities (the same four identities the multiterm
+    kernel uses inline). ``a``/``b`` are ``(kind, m)`` with kind in
+    {"1", "cos", "sin"}; ``Cq[q]``/``Sq[q]`` are the cos/sin trig sums of
+    the weights at harmonic q (``Cq[0] = sum w``, ``Sq[0] = 0``)."""
+    (ka, ma), (kb, mb) = a, b
+    if ka == "1" and kb == "1":
+        return Cq[0]
+    if ka == "1":
+        return Cq[mb] if kb == "cos" else Sq[mb]
+    if kb == "1":
+        return Cq[ma] if ka == "cos" else Sq[ma]
+
+    def Cd(q):
+        return Cq[abs(q)]
+
+    def Sd(q):
+        return -Sq[-q] if q < 0 else Sq[q]
+
+    m, l = ma, mb
+    if ka == "cos" and kb == "cos":
+        return 0.5 * (Cd(m - l) + Cq[m + l])
+    if ka == "cos" and kb == "sin":
+        return 0.5 * (Sq[m + l] + Sd(l - m))
+    if ka == "sin" and kb == "cos":
+        return 0.5 * (Sq[m + l] + Sd(m - l))
+    return 0.5 * (Cd(m - l) - Cq[m + l])
+
+
+def _harmonic_cols(kmax):
+    """Column spec [("1",0), ("cos",1), ("sin",1), ..., ("sin",kmax)]."""
+    return [("1", 0)] + [
+        (k, m) for m in range(1, kmax + 1) for k in ("cos", "sin")
+    ]
+
+
+@partial(jax.jit, static_argnames=("nf", "n_bands", "nterms_base",
+                                   "nterms_band", "method", "taps"))
+def gls_power_multiband(t, y, err, bands, n_bands, df, fmin, nf,
+                        nterms_base=1, nterms_band=1,
+                        reg_base=1e-12, reg_band=1e-6,
+                        method="fast", taps=12):
+    """Multiband generalized Lomb-Scargle power on a uniform grid.
+
+    Model per trial frequency f (VanderPlas & Ivezic 2015, ApJ 812 18;
+    the gatspy ``LombScargleMultiband`` capability — absent from the
+    reference, whose GLS is single-band only, spectral.py:43-204): a
+    SHARED base model of ``nterms_base`` harmonics plus, for each of the
+    ``n_bands`` photometric bands, a per-band offset and ``nterms_band``
+    residual harmonics:
+
+        y_s(t) ~ [c0 + sum_m a_m cos(m w t) + b_m sin(m w t)]        (base)
+               + [c0_s + sum_k a_ks cos(k w t) + b_ks sin(k w t)]    (band s)
+
+    Power = 1 - chi2(f)/chi2_ref, with chi2_ref the per-band
+    weighted-means null model, so a pure common-period signal observed
+    through band-dependent offsets/amplitudes/phases concentrates power
+    at the true frequency where naive concatenation cancels.
+
+    ``bands``: integer array [N] of band indices in [0, n_bands); every
+    band is assumed non-empty. ``reg_base``/``reg_band``: relative ridge
+    on the base/band diagonal blocks — the global offset is exactly
+    degenerate with the sum of per-band offsets, and ``reg_band`` breaks
+    the tie toward the shared model (gatspy's regularization).
+
+    ``method="fast"`` assembles the D-square normal equations
+    (D = 1+2*nterms_base + n_bands*(1+2*nterms_band)) from per-band
+    Press-Rybicki trig sums of the masked weights at harmonics up to
+    ``2*max(nterms_base, nterms_band)`` — n_bands*(qmax+kmax)
+    extirpolation+FFT pipelines plus batched tiny MXU solves, instead of
+    the direct O(D^2 * nf * N). ``method="direct"`` evaluates the exact
+    per-frequency design for validation.
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    err = jnp.asarray(err)
+    bands = jnp.asarray(bands)
+    S = int(n_bands)
+    Kb = int(nterms_base)
+    Ks = int(nterms_band)
+    if max(Kb, Ks) < 1:
+        raise ValueError("need nterms_base >= 1 or nterms_band >= 1")
+    dtype = jnp.result_type(t.dtype, y.dtype, err.dtype, jnp.float32)
+    w = err ** -2.0
+    w = (w / jnp.sum(w)).astype(dtype)
+    masks = [(bands == s).astype(dtype) for s in range(S)]
+    Ws = [jnp.sum(w * m) for m in masks]
+    Wys = [jnp.dot(w * m, y) for m in masks]
+    YY = jnp.dot(w, y**2)
+    # null model: per-band weighted means (guard empty bands to 0)
+    ess0 = sum(
+        jnp.where(W > 0, Wy * Wy / jnp.where(W > 0, W, 1.0), 0.0)
+        for W, Wy in zip(Ws, Wys)
+    )
+    chi2_0 = YY - ess0
+
+    cols_base = _harmonic_cols(Kb)
+    cols_band = _harmonic_cols(Ks)
+    nb, ns = len(cols_base), len(cols_band)
+    D = nb + S * ns
+    # sum(w) == 1, so reg_* are already relative ridge strengths
+    reg = jnp.concatenate([
+        jnp.full((nb,), reg_base, dtype),
+        jnp.full((S * ns,), reg_band, dtype),
+    ])
+
+    if method == "fast":
+        qmax = 2 * max(Kb, Ks)
+        kmax = max(Kb, Ks)
+        nfft = 2 * grid_size(nf, 5)
+        ones = jnp.ones(nf, dtype)
+        zeros = jnp.zeros(nf, dtype)
+        Cq_s, Sq_s, Cy_s, Sy_s = [], [], [], []
+        for s in range(S):
+            ws = w * masks[s]
+            Cq, Sq = [Ws[s] * ones], [zeros]
+            for q in range(1, qmax + 1):
+                S_, C_ = trig_sum(t, ws, q * df, nf, q * fmin, nfft=nfft,
+                                  taps=taps)
+                Cq.append(C_)
+                Sq.append(S_)
+            Cy, Sy = [Wys[s] * ones], [zeros]
+            for m in range(1, kmax + 1):
+                S_, C_ = trig_sum(t, ws * y, m * df, nf, m * fmin,
+                                  nfft=nfft, taps=taps)
+                Cy.append(C_)
+                Sy.append(S_)
+            Cq_s.append(Cq)
+            Sq_s.append(Sq)
+            Cy_s.append(Cy)
+            Sy_s.append(Sy)
+        Cq_tot = [sum(Cq_s[s][q] for s in range(S)) for q in range(qmax + 1)]
+        Sq_tot = [sum(Sq_s[s][q] for s in range(S)) for q in range(qmax + 1)]
+        Cy_tot = [sum(Cy_s[s][m] for s in range(S)) for m in range(kmax + 1)]
+        Sy_tot = [sum(Sy_s[s][m] for s in range(S)) for m in range(kmax + 1)]
+
+        def bvec_entry(Cy, Sy, col):
+            k, m = col
+            if k == "1":
+                return Cy[0]
+            return Cy[m] if k == "cos" else Sy[m]
+
+        rows, bcols = [], []
+        for a in cols_base:
+            row = [_harmonic_gram_entry(Cq_tot, Sq_tot, a, b2)
+                   for b2 in cols_base]
+            for s in range(S):
+                row += [_harmonic_gram_entry(Cq_s[s], Sq_s[s], a, b2)
+                        for b2 in cols_band]
+            rows.append(row)
+            bcols.append(bvec_entry(Cy_tot, Sy_tot, a))
+        for s in range(S):
+            for a in cols_band:
+                row = [_harmonic_gram_entry(Cq_s[s], Sq_s[s], a, b2)
+                       for b2 in cols_base]
+                for s2 in range(S):
+                    if s2 == s:
+                        row += [_harmonic_gram_entry(Cq_s[s], Sq_s[s], a, b2)
+                                for b2 in cols_band]
+                    else:
+                        row += [zeros] * ns
+                rows.append(row)
+                bcols.append(bvec_entry(Cy_s[s], Sy_s[s], a))
+        G = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+        bvec = jnp.stack(bcols, axis=-1)  # [nf, D]
+        theta = jnp.linalg.solve(G + jnp.diag(reg), bvec[..., None])[..., 0]
+        ess = jnp.sum(bvec * theta, axis=-1)
+    else:
+        freqs = fmin + df * jnp.arange(nf, dtype=t.dtype)
+        reg_mat = jnp.diag(reg)
+
+        def one(f):
+            ph = 2 * jnp.pi * f * t
+            cols = [jnp.ones_like(t)] + [
+                fn(m * ph)
+                for m in range(1, Kb + 1) for fn in (jnp.cos, jnp.sin)
+            ]
+            for s in range(S):
+                cols.append(masks[s])
+                for m in range(1, Ks + 1):
+                    cols.append(masks[s] * jnp.cos(m * ph))
+                    cols.append(masks[s] * jnp.sin(m * ph))
+            X = jnp.stack(cols, axis=1)
+            Xw = X * w[:, None]
+            G1 = X.T @ Xw + reg_mat
+            b1 = Xw.T @ y
+            theta = jnp.linalg.solve(G1, b1)
+            return b1 @ theta
+
+        ess = jax.lax.map(one, freqs, batch_size=128)
+    return (ess - ess0) / chi2_0
+
+
+class MultibandGLS:
+    """Multiband generalized Lomb-Scargle (VanderPlas & Ivezic 2015).
+
+    Beyond-reference: the reference's GLS is single-band
+    (spectral.py:43-204); surveys observing through multiple filters
+    (ZTF/LSST-style griz bands) need a shared-period model with per-band
+    offsets/amplitudes/phases — the gatspy ``LombScargleMultiband``
+    capability, here as one jitted Press-Rybicki normal-equation kernel
+    (:func:`gls_power_multiband`).
+
+    Call on either a dict ``{band_name: TSeries}`` (optionally with
+    ``err`` a matching dict of per-band error arrays) or a single
+    TSeries/array plus an integer ``bands`` array per sample.
+    """
+
+    def __init__(self, fmin=None, fmax=None, n=5, nterms_base=1,
+                 nterms_band=1, reg_base=1e-12, reg_band=1e-6,
+                 method="fast"):
+        self.fmin = fmin
+        self.fmax = fmax
+        self.n = n
+        self.nterms_base = int(nterms_base)
+        self.nterms_band = int(nterms_band)
+        self.reg_base = reg_base
+        self.reg_band = reg_band
+        self.method = method
+
+    def __call__(self, signals, err=None, bands=None):
+        if isinstance(signals, dict):
+            self.band_names = list(signals.keys())
+            ts, ys, es, bs = [], [], [], []
+            for i, (name, sig) in enumerate(signals.items()):
+                if not isinstance(sig, TSeries):
+                    sig = TSeries(values=sig)
+                ts.append(np.asarray(sig.time))
+                ys.append(np.asarray(sig.values))
+                n_i = ts[-1].size
+                if err is not None:
+                    es.append(np.asarray(err[name]))
+                else:
+                    es.append(np.ones(n_i))
+                bs.append(np.full(n_i, i, dtype=np.int32))
+            t = np.concatenate(ts)
+            y = np.concatenate(ys)
+            e = np.concatenate(es)
+            b = np.concatenate(bs)
+        else:
+            if bands is None:
+                raise ValueError("non-dict input needs a bands= array")
+            if isinstance(signals, TSeries):
+                # TSeries is sorted by construction; bands/err align with
+                # its stored (time-sorted) order
+                t = np.asarray(signals.time)
+                y = np.asarray(signals.values)
+            else:
+                y = np.asarray(signals)
+                t = np.arange(y.size, dtype=float)
+            e = np.ones_like(y) if err is None else np.asarray(err)
+            b = np.asarray(bands)
+            self.band_names = list(range(int(b.max()) + 1))
+        order = np.argsort(t, kind="stable")
+        t, y, e, b = t[order], y[order], e[order], b[order]
+        n_bands = len(self.band_names)
+        combined = TSeries(t, y, assume_sorted=True)
+        freq, df, fmin = default_frequency_grid(
+            combined, self.fmin, self.fmax, self.n
+        )
+        nf = freq.size
+        log_event(
+            "multiband_gls", n=t.size, nf=nf, n_bands=n_bands,
+            nterms_base=self.nterms_base, nterms_band=self.nterms_band,
+            method=self.method,
+        )
+        power = gls_power_multiband(
+            t, y, e, b, n_bands, df, fmin, nf,
+            nterms_base=self.nterms_base, nterms_band=self.nterms_band,
+            reg_base=self.reg_base, reg_band=self.reg_band,
+            method=self.method,
+        )
+        self.signal = combined
+        self.err = e
+        self.bands = b
+        self.frequency = freq
+        self.periodogram = FSeries(freq, power, assume_sorted=True)
+        return self.periodogram
 
 
 class GLS:

@@ -4,6 +4,7 @@
 from .models.spectral import (
     BGLST,
     GLS,
+    MultibandGLS,
     bglst_log_ml,
     bglst_log_ml_fast,
     default_frequency_grid,
@@ -11,7 +12,8 @@ from .models.spectral import (
     fap_baluev,
     gls_power,
     gls_power_batch,
+    gls_power_multiband,
     gls_power_multiterm,
 )
 
-__all__ = ["GLS", "BGLST", "gls_power", "gls_power_batch", "gls_power_multiterm", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
+__all__ = ["GLS", "BGLST", "MultibandGLS", "gls_power", "gls_power_batch", "gls_power_multiterm", "gls_power_multiband", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]

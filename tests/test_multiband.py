@@ -1,0 +1,129 @@
+"""Multiband GLS tests: single-band reduction to floating-mean GLS,
+fast-vs-direct parity, phase-cancellation recovery where naive
+concatenation fails, estimator surface (dict and array inputs)."""
+
+import numpy as np
+import pytest
+
+from periodicity_tpu.core import TSeries
+from periodicity_tpu.spectral import (
+    GLS,
+    MultibandGLS,
+    gls_power,
+    gls_power_multiband,
+)
+
+PERIOD = 2.3
+
+
+@pytest.fixture(scope="module")
+def multiband_signal():
+    """Three bands sharing one period, phases 120 degrees apart (so the
+    concatenated signal cancels at the true frequency), different
+    amplitudes and large per-band offsets."""
+    rng = np.random.default_rng(7)
+    ts, ys, es, bs = [], [], [], []
+    amps = [1.0, 0.7, 1.3]
+    offsets = [0.0, 5.0, -4.0]
+    for s in range(3):
+        n = 180
+        t = np.sort(rng.uniform(0, 40, n))
+        phase = 2 * np.pi * s / 3
+        y = (offsets[s]
+             + amps[s] * np.sin(2 * np.pi * t / PERIOD + phase)
+             + 0.05 * rng.standard_normal(n))
+        ts.append(t)
+        ys.append(y)
+        es.append(np.full(n, 0.05))
+        bs.append(np.full(n, s, dtype=np.int32))
+    t = np.concatenate(ts)
+    order = np.argsort(t, kind="stable")
+    return (t[order], np.concatenate(ys)[order], np.concatenate(es)[order],
+            np.concatenate(bs)[order])
+
+
+def test_single_band_reduces_to_gls():
+    rng = np.random.default_rng(1)
+    n = 200
+    t = np.sort(rng.uniform(0, 25, n))
+    y = np.sin(2 * np.pi * t / PERIOD) + 0.1 * rng.standard_normal(n)
+    err = np.full(n, 0.1)
+    bands = np.zeros(n, dtype=np.int32)
+    df, fmin, nf = 1 / 125.0, 1 / 250.0, 600
+    p_ref = np.asarray(gls_power(t, y, err, df, fmin, nf, method="direct"))
+    # base harmonic + band offset == floating-mean single-term GLS
+    p_mb = np.asarray(gls_power_multiband(
+        t, y, err, bands, 1, df, fmin, nf,
+        nterms_base=1, nterms_band=0, method="direct",
+    ))
+    np.testing.assert_allclose(p_mb, p_ref, atol=2e-5)
+
+
+def test_multiband_fast_matches_direct(multiband_signal):
+    t, y, err, bands = multiband_signal
+    df, fmin, nf = 1 / 200.0, 1 / 400.0, 700
+    for kb, ks in ((1, 0), (1, 1), (0, 1), (2, 1)):
+        pf = np.asarray(gls_power_multiband(
+            t, y, err, bands, 3, df, fmin, nf,
+            nterms_base=kb, nterms_band=ks, method="fast",
+        ))
+        pd = np.asarray(gls_power_multiband(
+            t, y, err, bands, 3, df, fmin, nf,
+            nterms_base=kb, nterms_band=ks, method="direct",
+        ))
+        np.testing.assert_allclose(pf, pd, atol=5e-6)
+
+
+def test_multiband_recovers_where_concatenation_cancels(multiband_signal):
+    t, y, err, bands = multiband_signal
+    df, fmin, nf = 1 / 200.0, 1 / 400.0, 700
+    freqs = fmin + df * np.arange(nf)
+    i0 = int(np.argmin(np.abs(freqs - 1 / PERIOD)))
+    p_mb = np.asarray(gls_power_multiband(
+        t, y, err, bands, 3, df, fmin, nf,
+        nterms_base=1, nterms_band=1,
+    ))
+    assert abs(freqs[p_mb.argmax()] - 1 / PERIOD) < 2 * df
+    assert p_mb[i0] > 0.8
+    # naive concatenated single-band GLS: the 120-degree phases cancel
+    p_cat = np.asarray(gls_power(t, y, err, df, fmin, nf, method="direct"))
+    assert p_cat[i0] < 0.3
+    assert p_mb[i0] > p_cat[i0] + 0.5
+
+
+def test_multiband_estimator_dict_input(multiband_signal):
+    t, y, err, bands = multiband_signal
+    signals = {}
+    errs = {}
+    for name, s in (("g", 0), ("r", 1), ("i", 2)):
+        m = bands == s
+        signals[name] = TSeries(t[m], y[m])
+        errs[name] = err[m]
+    mb = MultibandGLS(fmax=2.0)
+    fs = mb(signals, err=errs)
+    assert mb.band_names == ["g", "r", "i"]
+    p_best = float(fs.period_at_highest_peak)
+    assert abs(p_best - PERIOD) / PERIOD < 0.05
+
+
+def test_multiband_estimator_array_input(multiband_signal):
+    t, y, err, bands = multiband_signal
+    mb = MultibandGLS(fmax=2.0)
+    fs = mb(TSeries(t, y), err=err, bands=bands)
+    assert abs(float(fs.period_at_highest_peak) - PERIOD) / PERIOD < 0.05
+    # identical result via the dict path
+    signals = {s: TSeries(t[bands == s], y[bands == s]) for s in range(3)}
+    errs = {s: err[bands == s] for s in range(3)}
+    fs2 = MultibandGLS(fmax=2.0)(signals, err=errs)
+    np.testing.assert_allclose(
+        np.asarray(fs.values), np.asarray(fs2.values), rtol=1e-10
+    )
+
+
+def test_multiband_rejects_all_zero_terms():
+    with pytest.raises(ValueError):
+        gls_power_multiband(
+            np.arange(8.0), np.ones(8), np.ones(8),
+            np.zeros(8, np.int32), 1, 0.01, 0.005, 16,
+            nterms_base=0, nterms_band=0,
+        )
