@@ -638,17 +638,23 @@ def config13_nuts():
         out = run_nuts(log_prob, x0, key, n_steps, n_warmup=n_warmup,
                        max_depth=6)
         state["n_leapfrog"] = int(np.sum(np.asarray(out["n_leapfrog"])))
+        state["n_leapfrog_warmup"] = int(
+            np.sum(np.asarray(out["n_leapfrog_warmup"]))
+        )
         return float(np.asarray(out["log_probs"])[-1, 0])
 
     dt = _sync_time(run, reps=2)
-    # count only post-warmup leapfrogs; warmup adds ~n_warmup/n_steps more
-    evals_per_sec = state["n_leapfrog"] / dt
+    # the timed run includes warmup, so count warmup leapfrogs too (each
+    # warmup leapfrog does the same gradient work as a sampling one)
+    n_total = state["n_leapfrog"] + state["n_leapfrog_warmup"]
+    evals_per_sec = n_total / dt
     return {
         "metric": "nuts_leapfrog_grad_evals_per_sec_N2148",
         "value": evals_per_sec,
         "unit": "grad-evals/sec",
         "detail": {"n_chains": n_chains, "n_steps": n_steps,
                    "n_leapfrog_sampling": state["n_leapfrog"],
+                   "n_leapfrog_warmup": state["n_leapfrog_warmup"],
                    "seconds_per_run": dt},
     }
 

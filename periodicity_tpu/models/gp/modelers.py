@@ -52,6 +52,39 @@ def _norm_logpdf(x, mu, sd):
     return -0.5 * z * z - jnp.log(sd) - 0.5 * jnp.log(2 * jnp.pi)
 
 
+def _nuts_run_and_record(modeler, log_prob_fn, x0, k_run, n_steps, n_warmup,
+                         max_depth, target_accept, burn,
+                         chain_transform=None):
+    """Shared NUTS bookkeeping for both modeler families: run the sampler,
+    stash chain/acceptance/diagnostics/sampler shim on the modeler, emit
+    the done event, and return (flat post-burn samples, autocorr time)."""
+    out = run_nuts(log_prob_fn, x0, k_run, int(n_steps),
+                   n_warmup=int(n_warmup), max_depth=max_depth,
+                   target_accept=target_accept)
+    chain = out["chain"]
+    if chain_transform is not None:
+        chain = chain_transform(chain)
+    modeler.chain = np.asarray(chain)
+    modeler.acceptance = float(jnp.mean(out["accept_prob"]))
+    modeler.nuts_diagnostics = {
+        "divergences": np.asarray(out["divergences"]),
+        "step_size": np.asarray(out["step_size"]),
+        "inv_mass": np.asarray(out["inv_mass"]),
+        "tree_depth": np.asarray(out["tree_depth"]),
+        "n_leapfrog": np.asarray(out["n_leapfrog"]),
+        "n_leapfrog_warmup": np.asarray(out["n_leapfrog_warmup"]),
+    }
+    log_event("gp_nuts_done", modeler=type(modeler).__name__,
+              acceptance=modeler.acceptance,
+              divergences=int(np.sum(modeler.nuts_diagnostics["divergences"])))
+    samples = modeler.chain[burn:].reshape(-1, modeler.ndim)
+    tau = _mcmc.autocorr_time(modeler.chain[burn:])
+    modeler.sampler = types.SimpleNamespace(
+        chain=modeler.chain, acceptance=modeler.acceptance
+    )
+    return samples, tau
+
+
 class CeleriteModeler:
     """Hypercube-parameterized celerite GP modeler
     (reference gp.py:340-484). Subclasses define ndim, _kernel(params) and
@@ -310,23 +343,11 @@ class CeleriteModeler:
         x0 = x_mle[None, :] + 0.1 * jax.random.normal(
             k_init, (n_chains, self.ndim)
         )
-        out = run_nuts(self._log_prob_x, x0, k_run, int(n_steps),
-                       n_warmup=int(n_warmup), max_depth=max_depth,
-                       target_accept=target_accept)
-        chain_u = 100.0 * jax.nn.sigmoid(out["chain"])
-        self.chain = np.asarray(chain_u)
-        self.acceptance = float(jnp.mean(out["accept_prob"]))
-        self.nuts_diagnostics = {
-            "divergences": np.asarray(out["divergences"]),
-            "step_size": np.asarray(out["step_size"]),
-            "inv_mass": np.asarray(out["inv_mass"]),
-            "tree_depth": np.asarray(out["tree_depth"]),
-        }
-        log_event("gp_nuts_done", modeler=type(self).__name__,
-                  acceptance=self.acceptance,
-                  divergences=int(np.sum(self.nuts_diagnostics["divergences"])))
-        samples = self.chain[burn:].reshape(-1, self.ndim)
-        tau = _mcmc.autocorr_time(self.chain[burn:])
+        samples, tau = _nuts_run_and_record(
+            self, self._log_prob_x, x0, k_run, n_steps, n_warmup,
+            max_depth, target_accept, burn,
+            chain_transform=lambda c: 100.0 * jax.nn.sigmoid(c),
+        )
         trace = self.prior_transform(jnp.asarray(samples.T))
         trace = {k: np.asarray(v) for k, v in dict(trace).items()}
         if psd_at is not None:
@@ -339,9 +360,6 @@ class CeleriteModeler:
             self.psds = np.asarray(
                 jax.lax.map(one_psd, jnp.asarray(samples), batch_size=64)
             )
-        self.sampler = types.SimpleNamespace(
-            chain=self.chain, acceptance=self.acceptance
-        )
         return trace, tau
 
 
@@ -608,24 +626,9 @@ class GeorgeModeler:
         x0 = jnp.asarray(soln.x)[None, :] + 1e-3 * jax.random.normal(
             k_init, (n_chains, self.ndim)
         )
-        out = run_nuts(self._log_prob_theta, x0, k_run, int(n_steps),
-                       n_warmup=int(n_warmup), max_depth=max_depth,
-                       target_accept=target_accept)
-        self.chain = np.asarray(out["chain"])
-        self.acceptance = float(jnp.mean(out["accept_prob"]))
-        self.nuts_diagnostics = {
-            "divergences": np.asarray(out["divergences"]),
-            "step_size": np.asarray(out["step_size"]),
-            "inv_mass": np.asarray(out["inv_mass"]),
-            "tree_depth": np.asarray(out["tree_depth"]),
-        }
-        log_event("gp_nuts_done", modeler=type(self).__name__,
-                  acceptance=self.acceptance,
-                  divergences=int(np.sum(self.nuts_diagnostics["divergences"])))
-        samples = self.chain[burn:].reshape(-1, self.ndim)
-        tau = _mcmc.autocorr_time(self.chain[burn:])
-        self.sampler = types.SimpleNamespace(
-            chain=self.chain, acceptance=self.acceptance
+        samples, tau = _nuts_run_and_record(
+            self, self._log_prob_theta, x0, k_run, n_steps, n_warmup,
+            max_depth, target_accept, burn,
         )
         return samples.T, tau
 

@@ -146,8 +146,7 @@ def _build_subtree(leapfrog, depth, direction, z0, r0, grad0, joint0, eps,
     )
 
 
-def _nuts_step(leapfrog, value_and_grad_fn, z, logp, grad, eps, inv_mass,
-               max_depth, key):
+def _nuts_step(leapfrog, z, logp, grad, eps, inv_mass, max_depth, key):
     """One multinomial-NUTS transition. Returns the new (z, logp, grad)
     plus (accept_stat, n_leapfrog, diverging, depth)."""
     d = z.shape[0]
@@ -247,12 +246,15 @@ def _warmup_schedule(n_warmup, init_buffer=75, term_buffer=50, base_window=25):
     arrays (in_mass_window, is_window_end)."""
     in_window = np.zeros(n_warmup, bool)
     window_end = np.zeros(n_warmup, bool)
+    if n_warmup <= 0:
+        # no adaptation at all (e.g. reusing a tuned step size)
+        return in_window, window_end
     if n_warmup < init_buffer + term_buffer + base_window:
         # too short for the full schedule: single window over the middle
         lo = n_warmup // 4
-        hi = max(lo + 1, (3 * n_warmup) // 4)
+        hi = min(max(lo + 1, (3 * n_warmup) // 4), n_warmup)
         in_window[lo:hi] = True
-        window_end[hi - 1] = True if hi <= n_warmup else False
+        window_end[hi - 1] = True
         return in_window, window_end
     start = init_buffer
     size = base_window
@@ -328,8 +330,8 @@ def run_nuts(log_prob_fn, x0, key, n_steps, n_warmup=500, max_depth=8,
             key, in_win, win_end = inputs
             mu, log_eps, log_eps_avg, h_bar, count = da
             eps = jnp.exp(log_eps)
-            z, logp, grad, acc, _, _, _ = _nuts_step(
-                leapfrog, vg, z, logp, grad, eps, inv_mass, max_depth, key
+            z, logp, grad, acc, n_leaf, _, _ = _nuts_step(
+                leapfrog, z, logp, grad, eps, inv_mass, max_depth, key
             )
             # dual averaging
             count = count + 1
@@ -362,19 +364,21 @@ def run_nuts(log_prob_fn, x0, key, n_steps, n_warmup=500, max_depth=8,
             h_bar = jnp.where(win_end, 0.0, h_bar)
             count = jnp.where(win_end, 0.0, count)
             da = (mu, log_eps, log_eps_avg, h_bar, count)
-            return (z, logp, grad, da, welford, inv_mass), None
+            return (z, logp, grad, da, welford, inv_mass), n_leaf
 
         keys = jax.random.split(k_warm, n_warmup)
-        (z, logp, grad, da, _, inv_mass), _ = lax.scan(
+        (z, logp, grad, da, _, inv_mass), warm_leafs = lax.scan(
             warm_step, (z0, logp0, grad0, da0, w0, inv_mass0),
             (keys, in_window, window_end),
         )
-        eps = jnp.exp(da[2])  # averaged step size
+        # averaged step size; with no warmup there is nothing averaged —
+        # fall back to the Algorithm-4 initial guess
+        eps = jnp.exp(da[2]) if n_warmup > 0 else eps0
 
         def samp_step(carry, key):
             z, logp, grad = carry
             z, logp, grad, acc, n_leaf, div, depth = _nuts_step(
-                leapfrog, vg, z, logp, grad, eps, inv_mass, max_depth, key
+                leapfrog, z, logp, grad, eps, inv_mass, max_depth, key
             )
             return (z, logp, grad), (z, logp, acc, div, depth, n_leaf)
 
@@ -387,6 +391,7 @@ def run_nuts(log_prob_fn, x0, key, n_steps, n_warmup=500, max_depth=8,
             divergences=jnp.sum(divs.astype(jnp.int32)), step_size=eps,
             inv_mass=inv_mass, tree_depth=depths,
             n_leapfrog=jnp.sum(n_leafs),
+            n_leapfrog_warmup=jnp.sum(warm_leafs),
         )
 
     keys = jax.random.split(key, n_chains)

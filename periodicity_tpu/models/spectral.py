@@ -284,15 +284,27 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
     return out.reshape(groups * chunk, nf)[:b]
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q", "gridder", "taps"))
+@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q", "gridder", "taps", "nterms"))
 def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
                       fit_mean=True, psd=False, method="fast", pair_q=None,
-                      gridder="scatter", taps=4):
+                      gridder="scatter", taps=4, nterms=1):
     """Max power per resampled replicate. All replicates share the time
     grid (reference spectral.py:144-148 resamples only values/errors), so
-    they run through the batched row-scatter kernel."""
+    they run through the batched row-scatter kernel. With ``nterms > 1``
+    the replicates run the SAME harmonic statistic as the periodogram
+    (the null distribution of a 2K+1-column fit sits higher than the
+    single-sinusoid one, so mixing them would underestimate the FAP)."""
     n = y.shape[0]
     idx = jax.random.randint(key, (n_bootstraps, n), 0, n)
+    if nterms > 1:
+        def one(args):
+            yb, eb = args
+            p = gls_power_multiterm(t, yb, eb, df, fmin, nf, nterms,
+                                    fit_mean=fit_mean, psd=psd,
+                                    method=method, taps=taps)
+            return jnp.nanmax(p)
+
+        return jax.lax.map(one, (y[idx], err[idx]))
     powers = gls_power_batch(
         t, y[idx], err[idx], df, fmin, nf,
         fit_mean=fit_mean, psd=psd, method=method, pair_q=pair_q,
@@ -358,34 +370,18 @@ def gls_power_multiterm(t, y, err, df, fmin, nf, nterms, fit_mean=True,
             Cy.append(C_)
             Sy.append(S_)
 
-        def Cd(q):
-            return Cq[abs(q)]
-
-        def Sd(q):
-            return -Sq[-q] if q < 0 else Sq[q]
-
-        # column order: [1?, cos(1f), sin(1f), ..., cos(Kf), sin(Kf)]
-        rows = []
-        bcols = []
-        if fit_mean:
-            rows.append([jnp.sum(w) * ones]
-                        + [x for m in range(1, K + 1) for x in (Cq[m], Sq[m])])
-            bcols.append(jnp.dot(w, y) * ones)
-        for m in range(1, K + 1):
-            # cos(m f) row
-            row = [Cq[m]] if fit_mean else []
-            for l in range(1, K + 1):
-                row.append(0.5 * (Cd(m - l) + Cq[m + l]))   # cos.cos
-                row.append(0.5 * (Sq[m + l] + Sd(l - m)))   # cos.sin
-            rows.append(row)
-            bcols.append(Cy[m])
-            # sin(m f) row
-            row = [Sq[m]] if fit_mean else []
-            for l in range(1, K + 1):
-                row.append(0.5 * (Sq[m + l] + Sd(m - l)))   # sin.cos
-                row.append(0.5 * (Cd(m - l) - Cq[m + l]))   # sin.sin
-            rows.append(row)
-            bcols.append(Sy[m])
+        # column order: [1?, cos(1f), sin(1f), ..., cos(Kf), sin(Kf)] —
+        # Gram entries come from the shared product-to-sum helper (one
+        # source of truth with the multiband kernel)
+        spec = _harmonic_cols(K) if fit_mean else _harmonic_cols(K)[1:]
+        rows = [
+            [_harmonic_gram_entry(Cq, Sq, a, b) for b in spec] for a in spec
+        ]
+        bcols = [
+            jnp.dot(w, y) * ones if kind == "1"
+            else (Cy[m] if kind == "cos" else Sy[m])
+            for kind, m in spec
+        ]
         G = jnp.stack(
             [jnp.stack(r, axis=-1) for r in rows], axis=-2
         )  # [nf, D, D]
@@ -418,8 +414,8 @@ def gls_power_multiterm(t, y, err, df, fmin, nf, nterms, fit_mean=True,
 def _harmonic_gram_entry(Cq, Sq, a, b):
     """Weighted Gram-matrix entry <col_a . col_b>_w from trig sums of the
     weights at harmonic multiples of the trial frequency, via the
-    product-to-sum identities (the same four identities the multiterm
-    kernel uses inline). ``a``/``b`` are ``(kind, m)`` with kind in
+    product-to-sum identities (single source of truth for the multiterm
+    and multiband kernels). ``a``/``b`` are ``(kind, m)`` with kind in
     {"1", "cos", "sin"}; ``Cq[q]``/``Sq[q]`` are the cos/sin trig sums of
     the weights at harmonic q (``Cq[0] = sum w``, ``Sq[0] = 0``)."""
     (ka, ma), (kb, mb) = a, b
@@ -621,8 +617,14 @@ class MultibandGLS:
     (:func:`gls_power_multiband`).
 
     Call on either a dict ``{band_name: TSeries}`` (optionally with
-    ``err`` a matching dict of per-band error arrays) or a single
+    ``err`` a matching dict of per-band errors) or a single
     TSeries/array plus an integer ``bands`` array per sample.
+
+    Alignment contract (same as single-band :class:`GLS`): a plain error
+    array must align with the TSeries' STORED order — TSeries sorts by
+    time at construction, so if you built the band from unsorted times,
+    pass the errors as a ``TSeries(t, e)`` over the same times (it sorts
+    identically) rather than as the raw array, or pre-sort both.
     """
 
     def __init__(self, fmin=None, fmax=None, n=5, nterms_base=1,
@@ -648,7 +650,20 @@ class MultibandGLS:
                 ys.append(np.asarray(sig.values))
                 n_i = ts[-1].size
                 if err is not None:
-                    es.append(np.asarray(err[name]))
+                    e_i = err[name]
+                    # a TSeries error sorts by ITS time at construction,
+                    # exactly like the signal did — ordering-safe; a raw
+                    # array must already align with sig's stored order
+                    # (see the class docstring's alignment contract)
+                    e_i = np.asarray(
+                        e_i.values if isinstance(e_i, TSeries) else e_i
+                    )
+                    if e_i.shape != (n_i,):
+                        raise ValueError(
+                            f"err[{name!r}] has shape {e_i.shape}, "
+                            f"expected ({n_i},)"
+                        )
+                    es.append(e_i)
                 else:
                     es.append(np.ones(n_i))
                 bs.append(np.full(n_i, i, dtype=np.int32))
@@ -777,6 +792,7 @@ class GLS:
             fit_mean=fit_mean, psd=self.psd, method=self.method,
             pair_q=_pair_q(df, freq[0], freq.size),
             gridder=getattr(self, "_gridder_resolved", "scatter"),
+            nterms=self.nterms,
         )
         self.bs_replicates = np.asarray(reps)
         return self.bs_replicates
@@ -793,6 +809,12 @@ class GLS:
             return np.mean(power < self.bs_replicates)
         if method != "baluev":
             raise ValueError(f"unknown FAP method {method!r}")
+        if self.nterms > 1:
+            raise NotImplementedError(
+                "the analytic Baluev (2008) bound covers the single-term "
+                "statistic only; with nterms > 1 use method='bootstrap' "
+                "(it resamples the harmonic statistic itself)"
+            )
         return fap_baluev(
             self.signal.time, self.err, power,
             fmax=float(self.frequency[-1]), psd=self.psd,
@@ -805,6 +827,12 @@ class GLS:
             return np.quantile(self.bs_replicates, 1 - fap)
         if method != "baluev":
             raise ValueError(f"unknown FAL method {method!r}")
+        if self.nterms > 1:
+            raise NotImplementedError(
+                "the analytic Baluev (2008) bound covers the single-term "
+                "statistic only; with nterms > 1 use method='bootstrap' "
+                "(it resamples the harmonic statistic itself)"
+            )
         return fal_baluev(
             self.signal.time, self.err, fap,
             fmax=float(self.frequency[-1]), psd=self.psd,
