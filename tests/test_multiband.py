@@ -127,3 +127,32 @@ def test_multiband_rejects_all_zero_terms():
             np.zeros(8, np.int32), 1, 0.01, 0.005, 16,
             nterms_base=0, nterms_band=0,
         )
+
+
+def test_multiband_err_shape_validated(multiband_signal):
+    t, y, err, bands = multiband_signal
+    signals = {s: TSeries(t[bands == s], y[bands == s]) for s in range(3)}
+    errs = {s: err[bands == s] for s in range(3)}
+    errs[1] = errs[1][:-3]  # wrong length for band 1
+    with pytest.raises(ValueError, match="err\\[1\\]"):
+        MultibandGLS(fmax=2.0)(signals, err=errs)
+
+
+def test_multiband_err_as_tseries_sorts_with_signal(multiband_signal):
+    """Per the alignment contract: errors passed as TSeries over the same
+    (unsorted) times sort identically to the signal, matching the result
+    of pre-sorted raw arrays."""
+    t, y, err, bands = multiband_signal
+    rng = np.random.default_rng(3)
+    signals, errs_ts, errs_sorted = {}, {}, {}
+    for s in range(3):
+        tb, yb, eb = t[bands == s], y[bands == s], err[bands == s]
+        perm = rng.permutation(tb.size)
+        signals[s] = TSeries(tb[perm], yb[perm])      # sorts by time
+        errs_ts[s] = TSeries(tb[perm], eb[perm])      # sorts the same way
+        errs_sorted[s] = eb                            # already time-sorted
+    fs_ts = MultibandGLS(fmax=2.0)(signals, err=errs_ts)
+    fs_raw = MultibandGLS(fmax=2.0)(signals, err=errs_sorted)
+    np.testing.assert_allclose(
+        np.asarray(fs_ts.values), np.asarray(fs_raw.values), rtol=1e-12
+    )

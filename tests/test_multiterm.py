@@ -116,3 +116,40 @@ def test_multiterm_psd_normalization(harmonic_signal):
     yc = y - np.dot(wn, y)
     yy = np.dot(wn, yc**2)
     np.testing.assert_allclose(p_psd, p_std * yy * 0.5 * w.sum(), rtol=1e-10)
+
+
+def test_multiterm_bootstrap_fap(harmonic_signal):
+    """bootstrap() with nterms>1 resamples the harmonic statistic itself
+    (the 2K+1-column null sits higher than the single-sinusoid one), and
+    the analytic Baluev bound refuses multiterm powers."""
+    t, y, err, _ = harmonic_signal
+    gls = GLS(nterms=2)
+    fs = gls(TSeries(t, y), err=err)
+    reps = gls.bootstrap(12, random_seed=0)
+    assert reps.shape == (12,)
+    assert np.all(np.isfinite(reps)) and np.all(reps >= 0)
+    peak = float(np.max(np.asarray(fs.values)))
+    # a 3-harmonic signal at SNR 10 must beat every incoherent resample
+    assert gls.fap(peak) == 0.0
+    assert float(gls.fal(0.5)) <= peak
+    with pytest.raises(NotImplementedError):
+        gls.fap(peak, method="baluev")
+    with pytest.raises(NotImplementedError):
+        gls.fal(0.01, method="baluev")
+
+
+def test_multiterm_bootstrap_null_sits_higher():
+    """On pure noise the nterms=2 max-power null distribution must
+    stochastically dominate the nterms=1 one (more fit columns soak up
+    more variance) — confirms the replicates really run the harmonic
+    statistic rather than falling through to the single-term kernel."""
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.uniform(0, 20, 120))
+    y = rng.standard_normal(120)
+    err = np.ones(120)
+    reps = {}
+    for k in (1, 2):
+        gls = GLS(nterms=k, fmax=3.0)
+        gls(TSeries(t, y), err=err)
+        reps[k] = gls.bootstrap(24, random_seed=5)
+    assert np.mean(reps[2]) > np.mean(reps[1])
