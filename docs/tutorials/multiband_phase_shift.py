@@ -1,0 +1,87 @@
+"""Tutorial: multiband and harmonic periodograms.
+
+Two beyond-reference GLS extensions (astropy-style, rebuilt on the
+Press-Rybicki trig-sum pipeline):
+
+- ``MultibandGLS`` fits a shared base harmonic plus per-band offsets/
+  harmonics. The demo signal has three photometric bands whose phases
+  sit 120 degrees apart, so naively concatenating the bands CANCELS the
+  signal at the true frequency — the single-band GLS misses what the
+  multiband model recovers.
+- ``GLS(nterms=K)`` fits K Fourier terms per trial frequency and
+  concentrates the power of non-sinusoidal shapes into the fundamental.
+
+Run from the repo root: python docs/tutorials/multiband_phase_shift.py
+(CPU is fine; add jax.config.update('jax_platforms','cpu') if the
+ambient platform is the TPU relay and you want local execution).
+"""
+
+import numpy as np
+
+from periodicity_tpu import TSeries
+from periodicity_tpu.spectral import GLS, MultibandGLS
+
+
+def main():
+    rng = np.random.default_rng(42)
+    period = 2.3
+
+    # --- three bands, phases 120 degrees apart, different amplitudes
+    # and large instrument offsets (the classic LSST/ZTF situation)
+    signals, errs = {}, {}
+    for i, (name, amp, off) in enumerate(
+        [("g", 1.0, 0.0), ("r", 0.7, 5.0), ("i", 1.3, -4.0)]
+    ):
+        t = np.sort(rng.uniform(0.0, 40.0, 180))
+        y = (off + amp * np.sin(2 * np.pi * t / period + 2 * np.pi * i / 3)
+             + 0.05 * rng.standard_normal(t.size))
+        signals[name] = TSeries(t, y)
+        errs[name] = np.full(t.size, 0.05)
+
+    # --- naive approach: subtract each band's mean, concatenate, GLS
+    t_all = np.concatenate([np.asarray(s.time) for s in signals.values()])
+    y_all = np.concatenate(
+        [np.asarray(s.values) - float(np.mean(s.values))
+         for s in signals.values()]
+    )
+    order = np.argsort(t_all)
+    naive = GLS(fmax=2.0)
+    fs_naive = naive(TSeries(t_all[order], y_all[order]),
+                     err=np.full(t_all.size, 0.05))
+    p_naive = float(fs_naive.period_at_highest_peak)
+    print(f"naive concatenated GLS peak: {p_naive:.3f} d (true {period})")
+
+    # --- multiband: shared base sinusoid + per-band harmonic corrections
+    mb = MultibandGLS(fmax=2.0, nterms_base=1, nterms_band=1)
+    fs_mb = mb(signals, err=errs)
+    p_mb = float(fs_mb.period_at_highest_peak)
+    print(f"multiband GLS peak:          {p_mb:.3f} d (true {period})")
+
+    # the 120-degree phase spread cancels the concatenated signal at the
+    # true frequency; the per-band model recovers it
+    assert abs(p_mb - period) / period < 0.05
+    assert abs(p_naive - period) / period > 0.05
+
+    # --- harmonic GLS: a sawtooth-ish shape splits its power across
+    # harmonics in the single-term periodogram; nterms=2 re-concentrates
+    t = np.sort(rng.uniform(0.0, 30.0, 300))
+    y = (np.sin(2 * np.pi * t / period)
+         + 0.6 * np.sin(4 * np.pi * t / period + 0.4)
+         + 0.1 * rng.standard_normal(t.size))
+    err = np.full(t.size, 0.1)
+    for k in (1, 2):
+        gls = GLS(fmax=2.0, nterms=k)
+        fs = gls(TSeries(t, y), err=err)
+        print(f"nterms={k}: peak {float(fs.period_at_highest_peak):.3f} d, "
+              f"max power {float(np.max(np.asarray(fs.values))):.3f}")
+
+    # --- significance with nterms>1 must come from the bootstrap (it
+    # resamples the harmonic statistic itself; the analytic Baluev bound
+    # covers only the single-term periodogram and raises here)
+    gls.bootstrap(20, random_seed=0)
+    peak_power = float(np.max(np.asarray(fs.values)))
+    print(f"bootstrap FAP of the harmonic peak: {gls.fap(peak_power):.3f}")
+
+
+if __name__ == "__main__":
+    main()
