@@ -99,8 +99,9 @@ def main():
                 return jax.lax.fori_loop(
                     0, K, body, (w, jnp.float32(0.0)))[1]
 
-            fn = lambda w, von_m=von_m: grid_only(
-                w, ilo, lag, rot_re, rot_im, von_m=von_m)
+            def fn(w, von_m=von_m):
+                return grid_only(w, ilo, lag, rot_re, rot_im, von_m=von_m)
+
             print(f"pallas grid 2^23 value_on_m={von_m}:",
                   timeit(fn, yj), "s/iter", flush=True)
 

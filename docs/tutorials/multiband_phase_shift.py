@@ -12,9 +12,15 @@ Press-Rybicki trig-sum pipeline):
   concentrates the power of non-sinusoidal shapes into the fundamental.
 
 Run from the repo root: python docs/tutorials/multiband_phase_shift.py
-(CPU is fine; add jax.config.update('jax_platforms','cpu') if the
-ambient platform is the TPU relay and you want local execution).
 """
+
+import jax
+
+# pin CPU + x64 so the narrated peak comparisons below are reproducible
+# (the ambient platform may be the TPU relay, whose f32 fast path could
+# shift a borderline peak)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
@@ -70,17 +76,20 @@ def main():
          + 0.1 * rng.standard_normal(t.size))
     err = np.full(t.size, 0.1)
     for k in (1, 2):
-        gls = GLS(fmax=2.0, nterms=k)
-        fs = gls(TSeries(t, y), err=err)
-        print(f"nterms={k}: peak {float(fs.period_at_highest_peak):.3f} d, "
-              f"max power {float(np.max(np.asarray(fs.values))):.3f}")
+        gls_k = GLS(fmax=2.0, nterms=k)
+        fs_k = gls_k(TSeries(t, y), err=err)
+        print(f"nterms={k}: peak {float(fs_k.period_at_highest_peak):.3f} d, "
+              f"max power {float(np.max(np.asarray(fs_k.values))):.3f}")
 
     # --- significance with nterms>1 must come from the bootstrap (it
     # resamples the harmonic statistic itself; the analytic Baluev bound
-    # covers only the single-term periodogram and raises here)
-    gls.bootstrap(20, random_seed=0)
-    peak_power = float(np.max(np.asarray(fs.values)))
-    print(f"bootstrap FAP of the harmonic peak: {gls.fap(peak_power):.3f}")
+    # covers only the single-term periodogram and raises here). Bind the
+    # harmonic instance explicitly: the bootstrap belongs to nterms=2.
+    gls2 = GLS(fmax=2.0, nterms=2)
+    fs2 = gls2(TSeries(t, y), err=err)
+    gls2.bootstrap(20, random_seed=0)
+    peak_power = float(np.max(np.asarray(fs2.values)))
+    print(f"bootstrap FAP of the harmonic peak: {gls2.fap(peak_power):.3f}")
 
 
 if __name__ == "__main__":

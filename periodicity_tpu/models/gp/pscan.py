@@ -41,7 +41,6 @@ across chips with one carry exchange per boundary.
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,6 @@ on the MXU) — exact, and faster on TPU than a translated O(N+M) serial
 celerite predict for the M, N this library targets.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -432,14 +432,14 @@ def _harmonic_gram_entry(Cq, Sq, a, b):
     def Sd(q):
         return -Sq[-q] if q < 0 else Sq[q]
 
-    m, l = ma, mb
+    m, mm = ma, mb
     if ka == "cos" and kb == "cos":
-        return 0.5 * (Cd(m - l) + Cq[m + l])
+        return 0.5 * (Cd(m - mm) + Cq[m + mm])
     if ka == "cos" and kb == "sin":
-        return 0.5 * (Sq[m + l] + Sd(l - m))
+        return 0.5 * (Sq[m + mm] + Sd(mm - m))
     if ka == "sin" and kb == "cos":
-        return 0.5 * (Sq[m + l] + Sd(m - l))
-    return 0.5 * (Cd(m - l) - Cq[m + l])
+        return 0.5 * (Sq[m + mm] + Sd(m - mm))
+    return 0.5 * (Cd(m - mm) - Cq[m + mm])
 
 
 def _harmonic_cols(kmax):

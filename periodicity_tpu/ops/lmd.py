@@ -67,9 +67,15 @@ def _pad_reflect_drop_odd(idx, x, m, pad_width):
     c = c0 + 2 * w
     i = jnp.arange(c, dtype=jnp.int32)
     count = m + 2 * w - 2
-    safe = lambda s: jnp.clip(s, 0, c0 - 1)
-    gi = lambda s: idx[safe(s)]
-    gv = lambda s: x[jnp.clip(idx[safe(s)], 0, n - 1)]
+    def safe(s):
+        return jnp.clip(s, 0, c0 - 1)
+
+    def gi(s):
+        return idx[safe(s)]
+
+    def gv(s):
+        return x[jnp.clip(idx[safe(s)], 0, n - 1)]
+
     p0 = gi(0)
     v0 = gv(0)
     plast = gi(m - 1)

@@ -31,7 +31,6 @@ optimum. Measured at N=1e5, nfft=2^23 on v5e: 5.8 ms per grid build vs
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

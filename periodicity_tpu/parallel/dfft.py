@@ -23,7 +23,6 @@ one chip.
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -2,7 +2,6 @@
 plus EMD/VMD coverage the reference lacks."""
 
 import numpy as np
-import pytest
 
 from periodicity_tpu.core import TSeries
 from periodicity_tpu.data import SustainedPlusGappedPureTones

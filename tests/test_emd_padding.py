@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from periodicity_tpu.core import TSeries
 from periodicity_tpu.ops import peaks as P
 from periodicity_tpu.ops.emd import _compact_with_edges, _pad_reflect_drop, sift
 

@@ -7,7 +7,6 @@ import pytest
 
 from periodicity_tpu.core import TSeries
 from periodicity_tpu.spectral import (
-    GLS,
     MultibandGLS,
     gls_power,
     gls_power_multiband,

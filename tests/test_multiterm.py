@@ -129,8 +129,10 @@ def test_multiterm_bootstrap_fap(harmonic_signal):
     assert reps.shape == (12,)
     assert np.all(np.isfinite(reps)) and np.all(reps >= 0)
     peak = float(np.max(np.asarray(fs.values)))
-    # a 3-harmonic signal at SNR 10 must beat every incoherent resample
-    assert gls.fap(peak) == 0.0
+    # a 3-harmonic signal at SNR 10 should beat (essentially) every
+    # incoherent resample; bound rather than exact-zero so a PRNG-stream
+    # or resampling-kernel change cannot make this intermittent
+    assert gls.fap(peak) <= 1.0 / 12.0
     assert float(gls.fal(0.5)) <= peak
     with pytest.raises(NotImplementedError):
         gls.fap(peak, method="baluev")
@@ -152,4 +154,8 @@ def test_multiterm_bootstrap_null_sits_higher():
         gls = GLS(nterms=k, fmax=3.0)
         gls(TSeries(t, y), err=err)
         reps[k] = gls.bootstrap(24, random_seed=5)
+    # same seed + same grid -> identical resample indices per replicate,
+    # and the nterms=1 model is nested in nterms=2, so dominance holds
+    # PAIRWISE (deterministically, not just in expectation)
+    assert np.all(reps[2] >= reps[1] - 1e-9)
     assert np.mean(reps[2]) > np.mean(reps[1])

@@ -12,7 +12,7 @@ from periodicity_tpu.parallel import (
     sharded_pdm,
     sharded_string_length,
 )
-from periodicity_tpu.spectral import GLS, gls_power
+from periodicity_tpu.spectral import gls_power
 from periodicity_tpu.phase import pdm_scan, string_length_scan
 
 

@@ -388,7 +388,6 @@ def test_bglst_fast_matches_direct():
     """The Press-Rybicki BGLST assembly matches the exact direct
     evaluation to ~1e-8 on the default-style grid (VERDICT r2 item 9)."""
     from periodicity_tpu.spectral import bglst_log_ml, bglst_log_ml_fast
-    from periodicity_tpu.core import TSeries as _TS
 
     rng = np.random.default_rng(5)
     n, nf = 600, 2000
