@@ -77,16 +77,26 @@ def main():
         times.append((time.perf_counter() - t0) / k_iters)
     dt = float(np.median(times))
     freqs_per_sec = nf / dt
-    print(
-        json.dumps(
-            {
-                "metric": "gls_trial_frequencies_per_sec_N1e5",
-                "value": freqs_per_sec,
-                "unit": "freqs/sec",
-                "vs_baseline": freqs_per_sec / 1e6,
-            }
+    out = {
+        "metric": "gls_trial_frequencies_per_sec_N1e5",
+        "value": freqs_per_sec,
+        "unit": "freqs/sec",
+        "vs_baseline": freqs_per_sec / 1e6,
+    }
+    # host-CPU anchor: the reference's own _trig_sum GLS at this exact
+    # shape (benchmarks/anchors.py config 6, single-curve rate)
+    try:
+        import os
+
+        anchors = json.load(
+            open(os.path.join(os.path.dirname(__file__),
+                              "benchmarks", "anchors.json"))
         )
-    )
+        cpu_rate = anchors["6"]["cpu_units_per_sec"]
+        out["speedup_vs_cpu_anchor"] = freqs_per_sec / cpu_rate
+    except (OSError, KeyError, ValueError):
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,728 @@
+"""Host-CPU anchors for every benchmark config of record.
+
+For each TPU benchmark config in ``run_benchmarks.py`` this module times
+the REFERENCE'S OWN ALGORITHM on the host CPU at the same shape, so every
+config of record can carry a measured ``speedup_vs_cpu_anchor`` instead of
+an absolute number with no comparison point (VERDICT r3 directive #1).
+
+Anchor provenance, in order of preference:
+
+1. the reference's own importable numpy source, loaded at runtime from the
+   mounted tree (``_trig_sum`` — the same extraction trick as
+   ``tests/test_reference_parity.py``; never vendored);
+2. faithful numpy/scipy mirrors of reference routines whose modules cannot
+   be imported here because their native deps (xarray, pywt, celerite2,
+   george, emcee) are not installed — each cites the reference file:line
+   it mirrors;
+3. for the configs that go beyond the reference (batched GLS, BLS,
+   multi-term GLS, NUTS), the best available single-host numpy/scipy
+   implementation of the same computation.
+
+Caveats recorded in each anchor's ``note`` field, most importantly: the
+celerite anchors time a numpy loop where the reference calls celerite2's
+compiled C++ core — the numpy loop is 10-50x slower than the compiled
+core, so those speedups OVERSTATE the advantage over a real celerite2
+install; the note carries a compiled-core estimate alongside.
+
+The host here is single-core, so the reference's ``multiprocessing.Pool``
+fan-outs (phase.py:69-70,183-186; decomposition.py:277,304) degenerate to
+serial maps — anchors time the serial path and say so.
+
+Usage:
+    python benchmarks/anchors.py [--configs 1,2,...]   # writes anchors.json
+Results are cached in ``benchmarks/anchors.json`` (committed); the TPU
+suite ``run_benchmarks.py`` joins them onto its JSON lines.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF_SPECTRAL = "/root/reference/src/periodicity/spectral.py"
+OUT_PATH = os.path.join(os.path.dirname(__file__), "anchors.json")
+
+
+def _timeit(fn, min_time=0.5, max_reps=5):
+    """Median wall-clock seconds per call (host CPU, warm)."""
+    fn()  # warmup
+    times = []
+    total = 0.0
+    while not times or (len(times) < max_reps and total < min_time):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total += dt
+    return float(np.median(times))
+
+
+# ---------------------------------------------------------------- trig sums
+
+
+def _load_ref_trig_sum():
+    """Load the reference's _trig_sum (spectral.py:11-40) without importing
+    its package (which needs xarray); exec only that numpy function."""
+    src = open(REF_SPECTRAL).read()
+    start = src.index("def _trig_sum")
+    end = src.index("class GLS")
+    ns = {"np": np}
+    exec(src[start:end], ns)  # noqa: S102 - trusted mounted reference
+    return ns["_trig_sum"]
+
+
+def _ref_gls_power(trig_sum, t, y, err, df, fmin, nf):
+    """Reference GLS assembly (spectral.py:99-132) on its own trig sums."""
+    w = err**-2.0
+    w = w / w.sum()
+    yc = y - np.dot(w, y)
+    Sh, Ch = trig_sum(t, w * yc, df, nf, fmin)
+    S2, C2 = trig_sum(t, w, 2 * df, nf, 2 * fmin)
+    S, C = trig_sum(t, w, df, nf, fmin)
+    tan2wt = (S2 - 2 * S * C) / (C2 - (C * C - S * S))
+    C2w = 1 / np.sqrt(1 + tan2wt**2)
+    S2w = tan2wt * C2w
+    Cw = np.sqrt(0.5) * np.sqrt(1 + C2w)
+    Sw = np.sqrt(0.5) * np.sign(S2w) * np.sqrt(1 - C2w)
+    YY = np.dot(w, yc**2)
+    YC = Ch * Cw + Sh * Sw
+    YS = Sh * Cw - Ch * Sw
+    CC = 0.5 * (1 + C2 * C2w + S2 * S2w) - (C * Cw + S * Sw) ** 2
+    SS = 0.5 * (1 - C2 * C2w - S2 * S2w) - (S * Cw - C * Sw) ** 2
+    return (YC * YC / CC + YS * YS / SS) / YY
+
+
+def anchor1():
+    """Config 1: GLS periodogram, N=1e4, nf=25000 — the reference's own
+    _trig_sum pipeline (spectral.py:11-40,99-132)."""
+    trig_sum = _load_ref_trig_sum()
+    n = 10_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100.0, n))
+    y = np.sin(2 * np.pi * t / 7.7) + 0.3 * rng.standard_normal(n)
+    err = np.full(n, 0.3)
+    df = 1.0 / (100.0 * 5)
+    fmin = df / 2
+    nf = int((0.5 * n / 100.0) / df)
+    dt = _timeit(lambda: _ref_gls_power(trig_sum, t, y, err, df, fmin, nf))
+    return {
+        "config": 1,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "periodograms/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "reference _trig_sum (spectral.py:11-40) + GLS "
+                       "assembly (spectral.py:99-132), numpy float64",
+    }
+
+
+def anchor6():
+    """Config 6: batched GLS, B=8 curves x N=1e5 x nf=1e6 — the reference
+    is strictly single-series, so its cost is 8 sequential periodograms
+    through its own _trig_sum (Pool gains nothing on this 1-core host)."""
+    trig_sum = _load_ref_trig_sum()
+    n, nf = 100_000, 1_000_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 1000.0, n))
+    y = np.sin(2 * np.pi * t / 7.7)
+    err = np.full(n, 0.3)
+    df = 0.5 / 1000.0
+    fmin = df / 2
+    dt1 = _timeit(
+        lambda: _ref_gls_power(trig_sum, t, y, err, df, fmin, nf),
+        min_time=0.0, max_reps=2,
+    )
+    return {
+        "config": 6,
+        "cpu_units_per_sec": nf / dt1,  # aggregate freqs/sec == per-curve
+        "unit": "freqs/sec aggregate",
+        "cpu_anchor_sec": 8 * dt1,
+        "anchored_by": "8 x reference _trig_sum GLS at N=1e5, nf=1e6 "
+                       "(serial; single-core host)",
+        "note": "reference has no batch axis; aggregate rate equals the "
+                "single-curve rate",
+    }
+
+
+# -------------------------------------------------------------- ACF and WPS
+
+
+def anchor2():
+    """Config 2: FFT ACF + boxcar smooth on SpottedStar (N=2148) —
+    reference core.py:578-608 (2x-oversampled PSD -> IFFT -> lag-0
+    normalize) + core.py:401-440 smooth."""
+    from scipy import ndimage
+
+    from periodicity_tpu.data import SpottedStar
+
+    _, y, _ = SpottedStar()
+    n = len(y)
+    kern = np.full(5, 0.2)
+
+    def run():
+        yc = y - y.mean()
+        ps = np.abs(np.fft.rfft(yc, n=2 * n)) ** 2
+        r = np.fft.irfft(ps)[:n]
+        r = r / r[0]
+        return ndimage.convolve1d(r, kern, mode="mirror")
+
+    dt = _timeit(run)
+    return {
+        "config": 2,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "acfs/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "numpy rfft/irfft ACF per reference core.py:578-608 "
+                       "+ ndimage boxcar smooth per core.py:401-440",
+    }
+
+
+def anchor3():
+    """Config 3: Morlet wavelet power spectrum, N=4096 x 64 scales.
+    The reference calls pywt.cwt with an FFT-method complex Morlet
+    (timefrequency.py:208-225); the anchor is the same FFT pipeline in
+    numpy: one forward FFT + per-scale spectral multiply + inverse FFT."""
+    n, n_scales = 4096, 64
+    rng = np.random.default_rng(0)
+    y = np.sin(2 * np.pi * np.arange(n) / 64.0) + 0.2 * rng.standard_normal(n)
+    scales = np.geomspace(8, 512, n_scales)
+    B, C = 2.0, 1.0  # cmor2.0-1.0 (timefrequency.py:208)
+
+    def run():
+        yc = y - y.mean()
+        Y = np.fft.fft(yc)
+        f = np.fft.fftfreq(n)
+        out = np.empty((n_scales, n))
+        for i, s in enumerate(scales):
+            psi_hat = np.sqrt(s) * np.exp(-np.pi**2 * B * (s * f - C) ** 2)
+            co = np.fft.ifft(Y * psi_hat)
+            out[i] = (co.real**2 + co.imag**2) / s  # Liu 2007 unbias
+        return out.mean(axis=1)
+
+    dt = _timeit(run)
+    return {
+        "config": 3,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "spectra/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "numpy FFT Morlet CWT (the reference's pywt fft "
+                       "method, timefrequency.py:208-225) + GWPS",
+    }
+
+
+# ------------------------------------------------------------ phase methods
+
+
+def _ref_stringlength(t, m, period):
+    """Mirror of reference phase.py:45-51 (fold + roll-diff hypot sum)."""
+    phi = (t / period) % 1.0
+    order = np.argsort(phi)
+    phi = phi[order]
+    mm = m[order]
+    return np.hypot(np.roll(mm, -1) - mm, np.roll(phi, -1) - phi).sum()
+
+
+def _ref_pdm(t, x, sigma, period, nb=5, nc=2):
+    """Mirror of reference phase.py:128-149 (fold, sort, overlapping bin
+    variances, pooled theta)."""
+    m0 = nb * nc
+    phi = (t / period) % 1
+    order = np.argsort(phi)
+    phi = phi[order]
+    m = x[order]
+    sj, nj = [], []
+    m0_good = 0
+    for k in range(m0):
+        mask = (phi >= k / m0) & (phi < (k + nc) / m0)
+        mask |= phi < (k - (m0 - nc)) / m0
+        mk = m[mask]
+        if mk.size > 1:
+            sj.append(np.var(mk, ddof=1))
+            nj.append(mk.size)
+            m0_good += 1
+    sj = np.asarray(sj)
+    nj = np.asarray(nj)
+    ss = np.sum((nj - 1) * sj) / (np.sum(nj) - m0_good)
+    return ss / sigma
+
+
+def anchor4():
+    """Config 4: PDM + StringLength over 1e5 trial periods, N=2000 —
+    per-period reference workers (phase.py:45-51,128-149), timed on a
+    500-period subsample and scaled linearly (the scan is embarrassingly
+    parallel and each trial costs the same)."""
+    n, n_periods, sub = 2000, 100_000, 500
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 200.0, n))
+    y = np.sin(2 * np.pi * t / 7.7) + 0.2 * rng.standard_normal(n)
+    periods = np.linspace(0.5, 100.0, n_periods)
+    subsample = periods[:: n_periods // sub][:sub]
+    sigma = np.var(y, ddof=1)
+    # StringLength scaling (phase.py:66)
+    m = (y - y.max()) / (2 * (y.max() - y.min())) + 0.25
+
+    dt_pdm = _timeit(
+        lambda: [_ref_pdm(t, y, sigma, p) for p in subsample],
+        min_time=0.0, max_reps=2,
+    ) / sub
+    dt_sl = _timeit(
+        lambda: [_ref_stringlength(t, m, p) for p in subsample],
+        min_time=0.0, max_reps=2,
+    ) / sub
+    return {
+        "config": 4,
+        "cpu_units_per_sec": 1.0 / dt_pdm,
+        "unit": "periods/sec",
+        "cpu_anchor_sec": dt_pdm * n_periods,
+        "anchored_by": "reference per-period workers phase.py:128-149 "
+                       "(PDM) and :45-51 (StringLength), 500-period "
+                       "subsample scaled linearly; Pool is serial on this "
+                       "1-core host",
+        "detail": {
+            "pdm_periods_per_sec": 1.0 / dt_pdm,
+            "stringlength_periods_per_sec": 1.0 / dt_sl,
+        },
+    }
+
+
+def anchor11():
+    """Config 11: BLS over 1e5 trial periods x 4 durations (beyond the
+    reference). Anchor: the standard numpy BLS per period — fold, bincount
+    the weighted sums into 256 phase bins, circular box sums at 4 widths
+    (the same KZM02 statistic our kernel computes)."""
+    n, n_periods, sub, nbins = 2000, 100_000, 200, 256
+    widths = (3, 6, 13, 26)
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 200.0, n))
+    phi0 = (t / 7.7) % 1.0
+    y = np.where(phi0 < 0.05, -0.02, 0.0) + 0.005 * rng.standard_normal(n)
+    w = np.full(n, 1.0 / n)
+    periods = np.linspace(0.5, 100.0, n_periods)[:: n_periods // sub][:sub]
+
+    def one(period):
+        b = ((t / period) % 1.0 * nbins).astype(np.int64) % nbins
+        sw = np.bincount(b, weights=w, minlength=nbins)
+        swy = np.bincount(b, weights=w * y, minlength=nbins)
+        cw = np.concatenate([[0.0], np.cumsum(np.concatenate([sw, sw]))])
+        cwy = np.concatenate([[0.0], np.cumsum(np.concatenate([swy, swy]))])
+        best = 0.0
+        for width in widths:
+            r = cw[width:width + nbins] - cw[:nbins]
+            s = cwy[width:width + nbins] - cwy[:nbins]
+            denom = np.clip(r * (1.0 - r), 1e-12, None)
+            best = max(best, float(np.max(s * s / denom)))
+        return best
+
+    dt = _timeit(lambda: [one(p) for p in periods],
+                 min_time=0.0, max_reps=2) / len(periods)
+    return {
+        "config": 11,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "periods/sec",
+        "cpu_anchor_sec": dt * n_periods,
+        "anchored_by": "numpy per-period BLS (bincount fold + circular "
+                       "prefix-sum box scan), 200-period subsample scaled "
+                       "linearly; no reference analog (beyond reference)",
+    }
+
+
+def anchor12():
+    """Config 12: multi-term (K=3) harmonic GLS, N=1e4, nf=25000. Anchor:
+    the fast CPU algorithm for the same statistic — 3K reference trig sums
+    (data terms at k f, gram terms at q f for q=1..2K) + batched 7x7
+    normal-equation solves over the grid (numpy LAPACK)."""
+    trig_sum = _load_ref_trig_sum()
+    K = 3
+    n = 10_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100.0, n))
+    y = (np.sin(2 * np.pi * t / 7.7)
+         + 0.5 * np.sin(4 * np.pi * t / 7.7 + 0.4)
+         + 0.3 * rng.standard_normal(n))
+    err = np.full(n, 0.3)
+    df = 1.0 / (100.0 * 5)
+    fmin = df / 2
+    nf = int((0.5 * n / 100.0) / df)
+
+    def run():
+        w = err**-2.0
+        w = w / w.sum()
+        yc = y - np.dot(w, y)
+        # data-side sums at k f (K of them) and gram-side at q f (2K)
+        Sy = [trig_sum(t, w * yc, k * df, nf, k * fmin) for k in range(1, K + 1)]
+        Sq = [trig_sum(t, w, q * df, nf, q * fmin) for q in range(1, 2 * K + 1)]
+        d = 2 * K + 1
+        G = np.empty((nf, d, d))
+        b = np.empty((nf, d))
+        C0 = np.ones(nf)
+        Cq = [C0] + [c for (_, c) in Sq]
+        Sq_ = [np.zeros(nf)] + [s for (s, _) in Sq]
+        G[:, 0, 0] = 1.0
+        b[:, 0] = 0.0
+        for i in range(1, K + 1):
+            b[:, 2 * i - 1] = Sy[i - 1][1]  # cos row
+            b[:, 2 * i] = Sy[i - 1][0]      # sin row
+            G[:, 0, 2 * i - 1] = G[:, 2 * i - 1, 0] = Cq[i]
+            G[:, 0, 2 * i] = G[:, 2 * i, 0] = Sq_[i]
+            for j in range(1, K + 1):
+                G[:, 2 * i - 1, 2 * j - 1] = 0.5 * (Cq[abs(i - j)] + Cq[i + j])
+                G[:, 2 * i, 2 * j] = 0.5 * (Cq[abs(i - j)] - Cq[i + j])
+                s_d = np.sign(j - i) * Sq_[abs(j - i)]
+                G[:, 2 * i - 1, 2 * j] = 0.5 * (Sq_[i + j] + s_d)
+                G[:, 2 * i, 2 * j - 1] = 0.5 * (Sq_[i + j] - s_d)
+        G += 1e-10 * np.eye(d)
+        theta = np.linalg.solve(G, b[..., None])[..., 0]
+        YY = np.dot(w, yc**2)
+        return np.einsum("fi,fi->f", theta, b) / YY
+
+    dt = _timeit(run, min_time=0.0, max_reps=3)
+    return {
+        "config": 12,
+        "cpu_units_per_sec": nf / dt,
+        "unit": "freqs/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "3K reference trig sums + batched (2K+1)^2 "
+                       "normal-equation solves in numpy (the fast CPU "
+                       "algorithm for the harmonic statistic); no "
+                       "reference analog (beyond reference)",
+    }
+
+
+# ----------------------------------------------------------------- celerite
+
+
+def _numpy_celerite_nll(A, U, V, P, y):
+    """Celerite factor + solve + NLL as a numpy loop (Foreman-Mackey et al.
+    2017 eq. 46 — the recursion celerite2's C++ core runs; reference
+    gp.py:363-402 calls it via GaussianProcess.compute/log_likelihood)."""
+    n, r = U.shape
+    D = np.empty(n)
+    W = np.empty((n, r))
+    S = np.zeros((r, r))
+    D[0] = A[0]
+    W[0] = V[0] / D[0]
+    for i in range(1, n):
+        p = P[i - 1]
+        S = (p[:, None] * p[None, :]) * (S + D[i - 1] * np.outer(W[i - 1], W[i - 1]))
+        Su = S @ U[i]
+        D[i] = A[i] - U[i] @ Su
+        W[i] = (V[i] - Su) / D[i]
+    # forward solve
+    z = np.empty(n)
+    z[0] = y[0]
+    f = np.zeros(r)
+    for i in range(1, n):
+        f = P[i - 1] * (f + W[i - 1] * z[i - 1])
+        z[i] = y[i] - U[i] @ f
+    zd = z / D
+    # backward solve
+    x = np.empty(n)
+    x[-1] = zd[-1]
+    g = np.zeros(r)
+    for i in range(n - 2, -1, -1):
+        g = P[i] * (g + U[i + 1] * x[i + 1])
+        x[i] = zd[i] - W[i] @ g
+    return -0.5 * (y @ x + np.sum(np.log(D)) + n * np.log(2 * np.pi))
+
+
+def _brownian_matrices(t, diag, numpy_out=True):
+    """Build (A,U,V,P) for the BrownianTerm shapes via the library's own
+    term algebra on CPU (matrix build is O(N) elementwise and a small
+    fraction of a logL eval; the anchor times the recursion + solves)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from periodicity_tpu.models.gp.solver import celerite_matrices
+    from periodicity_tpu.models.gp.terms import BrownianTerm
+
+    term = BrownianTerm(0.01, 20.0, 10.0, 0.3)
+    A, U, V, P = celerite_matrices(term, t, diag)
+    return (np.asarray(A, np.float64), np.asarray(U, np.float64),
+            np.asarray(V, np.float64), np.asarray(P, np.float64))
+
+
+_CELERITE_COMPILED_FACTOR = 30.0  # see note below
+
+
+def _celerite_note():
+    return (
+        "anchor is a numpy loop; the reference calls celerite2's compiled "
+        "C++ core, typically 10-50x faster than numpy at this N — the "
+        "compiled_estimate fields divide the numpy anchor by "
+        f"{_CELERITE_COMPILED_FACTOR:.0f}x to avoid overstating the TPU "
+        "advantage (celerite2 is not installable here: no network)"
+    )
+
+
+def anchor5():
+    """Config 5: celerite logL evals/sec at N=2148 (SpottedStar).
+    Reference hot path: gp.py:369-374,402 — kernel rebuild + compute +
+    log_likelihood per eval, through celerite2's C++ recursion."""
+    from periodicity_tpu.data import SpottedStar
+
+    t, y, dy = SpottedStar()
+    y = y - y.mean()
+    A, U, V, P = _brownian_matrices(t, dy**2)
+    dt = _timeit(lambda: _numpy_celerite_nll(A, U, V, P, y))
+    return {
+        "config": 5,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "evals/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "numpy celerite recursion (Foreman-Mackey 2017 "
+                       "eq. 46; the algorithm behind reference "
+                       "gp.py:369-374)",
+        "note": _celerite_note(),
+        "detail": {
+            "compiled_estimate_evals_per_sec": _CELERITE_COMPILED_FACTOR / dt,
+        },
+    }
+
+
+def anchor7():
+    """Config 7: celerite logL scaling curve — numpy recursion at N=1e4 and
+    N=1e5 (N=1e6 extrapolated linearly: the recursion is exactly O(N))."""
+    rng = np.random.default_rng(0)
+    points = {}
+    for n in (10_000, 100_000):
+        t = np.sort(rng.uniform(0, 1000.0, n))
+        y = np.sin(2 * np.pi * t / 20.0) + 0.1 * rng.standard_normal(n)
+        y = y - y.mean()
+        A, U, V, P = _brownian_matrices(t, np.full(n, 0.01))
+        dt = _timeit(lambda: _numpy_celerite_nll(A, U, V, P, y),
+                     min_time=0.0, max_reps=2)
+        points[f"N{n}"] = {"sec": dt, "evals_per_sec": 1.0 / dt}
+    dt_1e6 = points["N100000"]["sec"] * 10.0
+    points["N1000000_extrapolated"] = {"sec": dt_1e6,
+                                       "evals_per_sec": 1.0 / dt_1e6}
+    return {
+        "config": 7,
+        "cpu_units_per_sec": points["N100000"]["evals_per_sec"],
+        "unit": "evals/sec (N=1e5 point)",
+        "cpu_anchor_sec": points["N100000"]["sec"],
+        "anchored_by": "numpy celerite recursion, O(N)-extrapolated to "
+                       "N=1e6",
+        "note": _celerite_note(),
+        "detail": points,
+    }
+
+
+def anchor8():
+    """Config 8: MCMC walker-steps/sec. The reference's emcee loop costs
+    one celerite2 logL per walker-step (gp.py:417-426,477) plus Python
+    ensemble bookkeeping; the anchor counts the logL alone (conservative
+    in the reference's favor)."""
+    a5 = anchor5()
+    return {
+        "config": 8,
+        "cpu_units_per_sec": a5["cpu_units_per_sec"],
+        "unit": "walker-steps/sec",
+        "cpu_anchor_sec": a5["cpu_anchor_sec"],
+        "anchored_by": "one celerite logL per emcee walker-step "
+                       "(gp.py:417-426); Python sampler overhead excluded "
+                       "(favors the reference)",
+        "note": _celerite_note(),
+        "detail": {
+            "compiled_estimate_walker_steps_per_sec":
+                a5["detail"]["compiled_estimate_evals_per_sec"],
+        },
+    }
+
+
+def anchor13():
+    """Config 13: NUTS leapfrog-gradient evals/sec. The reference has no
+    working gradient backend (theano modelers are dead, gp.py:541-637);
+    a CPU gradient via celerite2's hand-coded adjoint costs ~2-3x a
+    forward eval — the anchor charges 3x the numpy forward."""
+    a5 = anchor5()
+    grad_factor = 3.0
+    dt = a5["cpu_anchor_sec"] * grad_factor
+    return {
+        "config": 13,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "grad-evals/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "3x numpy celerite forward per gradient "
+                       "(celerite2-style hand-coded adjoint); the "
+                       "reference itself has no live gradient backend "
+                       "(gp.py:541-637 dead)",
+        "note": _celerite_note(),
+        "detail": {
+            "compiled_estimate_grad_evals_per_sec":
+                _CELERITE_COMPILED_FACTOR / dt,
+        },
+    }
+
+
+# -------------------------------------------------------- EMD / HHT / CEEMDAN
+
+
+def _scipy_extrema(x):
+    """Interior peaks and dips plus edge extrema, per reference
+    find_peaks/find_dips with include_edges (core.py:283-339)."""
+    from scipy.signal import find_peaks
+
+    pk, _ = find_peaks(x)
+    dp, _ = find_peaks(-x)
+    # edges join whichever envelope they locally belong to
+    pk = np.concatenate([[0], pk, [x.size - 1]])
+    dp = np.concatenate([[0], dp, [x.size - 1]])
+    return pk, dp
+
+
+def _spline_envelope(idx, vals, n, pad=2):
+    """Cubic-spline envelope through extrema, odd-reflect padded by `pad`
+    extrema each side (reference core.py:726-774 pad + get_envelope)."""
+    from scipy.interpolate import CubicSpline
+
+    if idx.size < 2:
+        raise ValueError("monotonic")
+    k = min(pad, idx.size - 1)
+    left_i = 2 * idx[0] - idx[1:k + 1][::-1]
+    left_v = 2 * vals[0] - vals[1:k + 1][::-1]
+    right_i = 2 * idx[-1] - idx[-k - 1:-1][::-1]
+    right_v = 2 * vals[-1] - vals[-k - 1:-1][::-1]
+    xi = np.concatenate([left_i, idx, right_i]).astype(float)
+    vi = np.concatenate([left_v, vals, right_v])
+    xi, keep = np.unique(xi, return_index=True)
+    return CubicSpline(xi, vi[keep])(np.arange(n))
+
+
+def _scipy_sift(x, theta1=0.05, theta2=0.50, alpha=0.05, max_iter=2000):
+    """One EMD mode via the reference's sift loop (decomposition.py:45-91):
+    spline envelopes -> mean removal until the Rilling criteria hold."""
+    mode = x.copy()
+    n = x.size
+    for _ in range(max_iter):
+        pk, dp = _scipy_extrema(mode)
+        if pk.size + dp.size <= 6:  # monotonic-ish residue
+            raise ValueError("monotonic")
+        upper = _spline_envelope(pk, mode[pk], n)
+        lower = _spline_envelope(dp, mode[dp], n)
+        mu = 0.5 * (upper + lower)
+        amp = 0.5 * (upper - lower)
+        sigma = np.abs(mu / np.where(amp == 0, 1e-30, amp))
+        mode = mode - mu
+        n_zero = np.count_nonzero(np.diff(np.signbit(mode)))
+        n_ext = pk.size + dp.size - 4
+        if (np.mean(sigma > theta1) < alpha and np.all(sigma < theta2)
+                and abs(n_zero - n_ext) <= 1):
+            break
+    return mode
+
+
+def _scipy_emd(x, max_modes=None):
+    """Full EMD (reference decomposition.py:93-117)."""
+    modes = []
+    residue = x.copy()
+    while max_modes is None or len(modes) < max_modes:
+        try:
+            m = _scipy_sift(residue)
+        except ValueError:
+            break
+        modes.append(m)
+        residue = residue - m
+    return modes, residue
+
+
+def anchor9():
+    """Config 9: batched HHT, B=8 x N=2048 x 4 modes. The reference HHT is
+    strictly single-series (timefrequency.py:100-148): EMD sift + hilbert
+    IF/IA + bin scatter, so the batch costs 8x one transform."""
+    from scipy.signal import hilbert
+
+    n, b = 2048, 8
+    t = np.linspace(0.0, 20.0, n)
+    rng = np.random.default_rng(0)
+    y = (np.sin(2 * np.pi * t * 3.0)
+         + 0.4 * np.sin(2 * np.pi * t * 0.5)
+         + 0.05 * rng.standard_normal(n))
+    grid = np.linspace(0.1, 8.0, 64)
+    dt_samp = t[1] - t[0]
+
+    def one_hht(y):
+        modes, _ = _scipy_emd(y, max_modes=4)
+        power = np.zeros((grid.size, n))
+        for m in modes:
+            analytic = hilbert(m)
+            ia = np.abs(analytic)
+            phase = np.unwrap(np.angle(analytic))
+            inst_f = np.gradient(phase) / (2 * np.pi * dt_samp)
+            bins = np.clip(np.searchsorted(grid, inst_f), 0, grid.size - 1)
+            np.add.at(power, (bins, np.arange(n)), ia)
+        return power
+
+    dt1 = _timeit(lambda: one_hht(y), min_time=0.0, max_reps=2)
+    return {
+        "config": 9,
+        "cpu_units_per_sec": 1.0 / dt1,  # transforms/sec (serial => aggregate)
+        "unit": "transforms/sec aggregate",
+        "cpu_anchor_sec": b * dt1,
+        "anchored_by": "scipy EMD sift (find_peaks + CubicSpline envelopes "
+                       "per decomposition.py:45-117) + hilbert IF + bin "
+                       "scatter per timefrequency.py:91-148, x8 serial",
+    }
+
+
+def anchor10():
+    """Config 10: CEEMDAN, N=1024, ensemble 50. The reference loop
+    (decomposition.py:274-337) costs E full EMDs of the noise realizations
+    plus n_modes x E single-mode extractions; the anchor measures one of
+    each and composes (the loop is exactly linear in E)."""
+    n, E = 1024, 50
+    t = np.linspace(0.0, 2.0, n)
+    rng = np.random.default_rng(0)
+    base = np.sin(2 * np.pi * 40.0 * t) + 0.6 * np.sin(2 * np.pi * 5.0 * t)
+    noise = rng.standard_normal(n)
+
+    t_full = _timeit(lambda: _scipy_emd(noise.copy()),
+                     min_time=0.0, max_reps=2)
+    t_mode = _timeit(lambda: _scipy_sift(base + 0.1 * noise),
+                     min_time=0.0, max_reps=2)
+    n_modes = 7  # measured mode count at this shape (config 10 detail)
+    anchor_sec = E * t_full + n_modes * E * t_mode
+    return {
+        "config": 10,
+        "cpu_units_per_sec": 1.0 / anchor_sec,
+        "unit": "decompositions/sec",
+        "cpu_anchor_sec": anchor_sec,
+        "anchored_by": "E x scipy full EMD (noise pre-decomposition, "
+                       "decomposition.py:274-294) + n_modes x E x "
+                       "single-mode sifts (decomposition.py:296-325), "
+                       "measured per-unit and composed linearly; Pool is "
+                       "serial on this 1-core host",
+        "detail": {"full_emd_sec": t_full, "single_sift_sec": t_mode,
+                   "n_modes": n_modes, "ensemble": E},
+    }
+
+
+ANCHORS = {
+    1: anchor1, 2: anchor2, 3: anchor3, 4: anchor4, 5: anchor5,
+    6: anchor6, 7: anchor7, 8: anchor8, 9: anchor9, 10: anchor10,
+    11: anchor11, 12: anchor12, 13: anchor13,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(str(k) for k in ANCHORS))
+    args = ap.parse_args()
+    existing = {}
+    if os.path.exists(OUT_PATH):
+        existing = {int(k): v for k, v in json.load(open(OUT_PATH)).items()}
+    for c in [int(x) for x in args.configs.split(",")]:
+        result = ANCHORS[c]()
+        existing[c] = result
+        print(json.dumps(result), flush=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump({str(k): existing[k] for k in sorted(existing)}, f,
+                  indent=1)
+    print(f"wrote {OUT_PATH}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,14 @@ def config1_gls():
 
 
 def config2_acf():
-    """FFT ACF + smoothing on a Kepler-like light curve (config 2)."""
+    """FFT ACF + smoothing on a Kepler-like light curve (config 2).
+
+    Two shapes: the reference's own single-series latency shape (N=2148 —
+    far too small to feed a TPU; the host CPU wins it, and the anchor
+    records that honestly) and the TPU framing of the same workload — a
+    BATCH of light curves through one jitted batched rfft/irfft pipeline
+    (SURVEY §2.2 row P4). The headline value is the batched aggregate;
+    the single-series latency stays in detail."""
     import jax
     import jax.numpy as jnp
 
@@ -93,11 +100,38 @@ def config2_acf():
         return jax.lax.fori_loop(0, k, body, (y0, jnp.float32(0)))[1]
 
     dt = _sync_time(lambda: float(loop(yj))) / k
+
+    # batched: B=256 curves per call, the same ACF+smooth per row
+    b = 256
+    rng = np.random.default_rng(0)
+    ys = (y[None, :] + 1e-4 * rng.standard_normal((b, n))).astype(np.float32)
+    ysj = jnp.asarray(ys)
+    kb = 10
+
+    @jax.jit
+    def loop_b(y0):
+        def body(_, carry):
+            ys, acc = carry
+            yc = ys - jnp.mean(ys, axis=1, keepdims=True)
+            ps = jnp.abs(jnp.fft.rfft(yc, n=2 * n, axis=1)) ** 2
+            r = jnp.fft.irfft(ps, axis=1)[:, :n]
+            r = r / r[:, :1]
+            r = jax.vmap(lambda row: convolve1d(row, kern))(r)
+            return (ys + r * 1e-9, acc + jnp.sum(r[:, 1]))
+
+        return jax.lax.fori_loop(0, kb, body, (y0, jnp.float32(0)))[1]
+
+    dt_b = _sync_time(lambda: float(loop_b(ysj))) / kb
     return {
-        "metric": "fft_acf_smooth_per_sec_N2148",
-        "value": 1.0 / dt,
-        "unit": "acfs/sec",
-        "detail": {"ms_per_call": dt * 1e3},
+        "metric": "fft_acf_smooth_per_sec_B256_N2148",
+        "value": b / dt_b,
+        "unit": "acfs/sec aggregate",
+        "detail": {
+            "ms_per_batch": dt_b * 1e3,
+            "batch": b,
+            "single_series_acfs_per_sec": 1.0 / dt,
+            "single_series_ms": dt * 1e3,
+        },
     }
 
 
@@ -676,16 +710,41 @@ CONFIGS = {
 }
 
 
+def _load_anchors():
+    """Host-CPU reference-algorithm anchors (benchmarks/anchors.py; cached
+    in anchors.json). Every config of record carries a measured
+    speedup_vs_cpu_anchor — regenerate with `python benchmarks/anchors.py`
+    when shapes change."""
+    path = os.path.join(os.path.dirname(__file__), "anchors.json")
+    if not os.path.exists(path):
+        return {}
+    return {int(k): v for k, v in json.load(open(path)).items()}
+
+
+def _join_anchor(result, anchor):
+    if anchor is None:
+        return result
+    cpu_rate = anchor["cpu_units_per_sec"]
+    result["cpu_anchor_units_per_sec"] = cpu_rate
+    result["speedup_vs_cpu_anchor"] = result["value"] / cpu_rate
+    result["cpu_anchored_by"] = anchor["anchored_by"]
+    if "note" in anchor:
+        result["cpu_anchor_note"] = anchor["note"]
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10,11,12,13")
     args = ap.parse_args()
+    anchors = _load_anchors()
     for c in [int(x) for x in args.configs.split(",")]:
         if c not in CONFIGS:
             ap.error(
                 f"unknown config {c}; choose from {sorted(CONFIGS)}"
             )
         result = CONFIGS[c]()
+        result = _join_anchor(result, anchors.get(c))
         print(json.dumps(result))
 
 

@@ -152,8 +152,17 @@ def sift(t, x, pad_width=2):
     # guard the solves against degenerate knot sets
     pc_s = jnp.maximum(pcount, 4)
     dc_s = jnp.maximum(dcount, 4)
-    upper = _spline.spline_interp(ppt, ppv, t, count=pc_s)
-    lower = _spline.spline_interp(dpt, dpv, t, count=dc_s)
+    # The padded knot vector is [pad_width reflections < t[0]] + [interior
+    # extrema] + [reflections > t[-1]] (the original edge samples are
+    # DROPPED, reference decomposition.py:55-60), and every query is a
+    # sample of t itself — so searchsorted(knots, t[i], "right") is just
+    # pad_width + #{interior extrema at positions <= i}: one cumsum of the
+    # extrema mask instead of an O(N*K) comparison-sum per envelope (the
+    # dominant batch-proportional cost of the sift loop).
+    hi_up = pad_width + jnp.cumsum(peak_mask.astype(jnp.int32))
+    hi_lo = pad_width + jnp.cumsum(dip_mask.astype(jnp.int32))
+    upper = _spline.spline_interp(ppt, ppv, t, count=pc_s, hi=hi_up)
+    lower = _spline.spline_interp(dpt, dpv, t, count=dc_s, hi=hi_lo)
     mu = (upper + lower) / 2
     amp = (upper - lower) / 2
     sigma = jnp.abs(mu / amp)
@@ -181,7 +190,9 @@ def upper_envelope(t, x, pad_width=2):
     n_interior = jnp.sum(mask)
     et, ev, m = _compact_with_edges(t, x, mask, cap)
     pt, pv, cnt = _pad_reflect_drop(et, ev, m, pad_width)
-    env = _spline.spline_interp(pt, pv, t, count=jnp.maximum(cnt, 4))
+    # cumsum interval index — same layout argument as in sift() above
+    hi = pad_width + jnp.cumsum(mask.astype(jnp.int32))
+    env = _spline.spline_interp(pt, pv, t, count=jnp.maximum(cnt, 4), hi=hi)
     ok = (n_interior >= jnp.maximum(pad_width, 1)) & (cnt >= 4)
     fallback = jnp.full_like(env, jnp.max(jnp.abs(x)))
     return jnp.where(ok, env, fallback)

@@ -210,14 +210,20 @@ def _interval_index(x, q, side="right"):
     return jnp.searchsorted(x, q, side=side)
 
 
-def spline_eval(x, y, s, xnew, count=None):
+def spline_eval(x, y, s, xnew, count=None, hi=None):
     """Evaluate the Hermite form of the spline at xnew (cubic extrapolation).
 
     x, y, s: [K] knots, values, derivatives. xnew: [M]. count: dynamic valid
-    knot count (padding entries of x must be increasing).
+    knot count (padding entries of x must be increasing). ``hi`` optionally
+    supplies the precomputed interval index ``searchsorted(x, xnew,
+    "right")`` — callers that know each knot's source position among the
+    query points (the EMD sift: knots are extrema OF the sample grid being
+    evaluated) can form it with one O(M) cumsum instead of the O(M*K)
+    comparison-sum / O(M log K) binary-search gather chain here.
     """
     k = x.shape[0]
-    hi = _interval_index(x, xnew)
+    if hi is None:
+        hi = _interval_index(x, xnew)
     if count is None:
         i = jnp.clip(hi - 1, 0, k - 2)
     else:
@@ -236,10 +242,10 @@ def spline_eval(x, y, s, xnew, count=None):
     return h00 * y0 + h10 * h * s0 + h01 * y1 + h11 * h * s1
 
 
-def spline_interp(x, y, xnew, count=None):
+def spline_interp(x, y, xnew, count=None, hi=None):
     """Not-a-knot cubic spline interpolation (== scipy splrep(s=0)/splev)."""
     s = spline_derivatives(x, y, count=count)
-    return spline_eval(x, y, s, xnew, count=count)
+    return spline_eval(x, y, s, xnew, count=count, hi=hi)
 
 
 def _quadratic_bspline_basis(knots, x):
