@@ -68,6 +68,27 @@ def main():
     assert abs(p_mb - period) / period < 0.05
     assert abs(p_naive - period) / period > 0.05
 
+    # --- is the multiband peak significant? The bootstrap resamples
+    # (value, error) pairs WITHIN each band — cadence and per-band weight
+    # budgets stay intact, only the shared-period phase coherence is
+    # destroyed — and the replicates re-run the exact statistic of record.
+    mb.bootstrap(20, random_seed=0)
+    peak_mb = float(np.max(np.asarray(fs_mb.values)))
+    print(f"multiband bootstrap FAP of the peak: {mb.fap(peak_mb):.3f}")
+    print(f"power needed for FAP=0.05:           {mb.fal(0.05):.3f}")
+
+    # --- exact refinement + the fitted per-band light curves: the fast
+    # scan locates the peak to within its grid; refine() solves the exact
+    # direct design on a fine local grid, and model() returns the fitted
+    # base + band curve the peak's power scored
+    mb.refine(n_peaks=1)
+    print(f"refined peak: {1 / mb.refined_fbest:.4f} d (true {period})")
+    tf = np.linspace(10.0, 15.0, 200)
+    for name in signals:
+        fit = mb.model(tf, mb.refined_fbest, name)
+        print(f"band {name}: fitted mean {float(np.mean(fit.values)):+.2f} "
+              f"(instrument offset recovered)")
+
     # --- harmonic GLS: a sawtooth-ish shape splits its power across
     # harmonics in the single-term periodogram; nterms=2 re-concentrates
     t = np.sort(rng.uniform(0.0, 30.0, 300))

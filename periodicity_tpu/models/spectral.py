@@ -313,6 +313,31 @@ def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
     return jnp.nanmax(powers, axis=1)
 
 
+@partial(jax.jit, static_argnames=("nf", "n_bands", "nterms_base",
+                                   "nterms_band", "method", "taps"))
+def _bootstrap_powers_multiband(t, y, err, bands, idx, n_bands, df, fmin, nf,
+                                nterms_base=1, nterms_band=1,
+                                reg_base=1e-12, reg_band=1e-6,
+                                method="fast", taps=12):
+    """Max multiband power per within-band resampled replicate.
+
+    ``idx`` [R, N] maps each sample to a donor WITHIN its own band (built
+    by :meth:`MultibandGLS.bootstrap`), so ``bands[idx] == bands`` and the
+    replicates run the exact statistic of record — per-band cadence,
+    weights and the shared/band design all intact, only the phase
+    coherence destroyed."""
+
+    def one(ix):
+        p = gls_power_multiband(
+            t, y[ix], err[ix], bands, n_bands, df, fmin, nf,
+            nterms_base=nterms_base, nterms_band=nterms_band,
+            reg_base=reg_base, reg_band=reg_band, method=method, taps=taps,
+        )
+        return jnp.nanmax(p)
+
+    return jax.lax.map(one, idx)
+
+
 @partial(jax.jit, static_argnames=("nf", "nterms", "fit_mean", "psd",
                                    "method", "taps"))
 def gls_power_multiterm(t, y, err, df, fmin, nf, nterms, fit_mean=True,
@@ -707,9 +732,164 @@ class MultibandGLS:
         self.signal = combined
         self.err = e
         self.bands = b
+        self.n_bands = n_bands
         self.frequency = freq
         self.periodogram = FSeries(freq, power, assume_sorted=True)
         return self.periodogram
+
+    def copy(self):
+        return MultibandGLS(
+            self.fmin, self.fmax, self.n, self.nterms_base,
+            self.nterms_band, self.reg_base, self.reg_band, self.method,
+        )
+
+    def _band_index(self, band):
+        if band in self.band_names:
+            return self.band_names.index(band)
+        s = int(band)
+        if not 0 <= s < self.n_bands:
+            raise ValueError(f"unknown band {band!r}")
+        return s
+
+    def bootstrap(self, n_bootstraps, random_seed=0):
+        """Max-power null distribution over within-band resampled
+        replicates, vmapped on device.
+
+        The single-band analog (reference spectral.py:140-152 / the
+        :meth:`GLS.bootstrap` surface) resamples (value, error) pairs with
+        replacement at fixed observation times; the multiband null must
+        additionally preserve each sample's band label — so pairs are
+        resampled WITHIN their band, keeping every band's cadence and
+        weight budget intact while destroying the shared-period phase
+        coherence the statistic tests for.
+        """
+        t = np.asarray(self.signal.time)
+        y = np.asarray(self.signal.values)
+        freq = self.frequency
+        df = float(freq[1] - freq[0])
+        n = t.size
+        key = jax.random.PRNGKey(random_seed)
+        idx = jnp.broadcast_to(jnp.arange(n), (int(n_bootstraps), n))
+        for s in range(self.n_bands):
+            pos = jnp.asarray(np.flatnonzero(self.bands == s))
+            if pos.size == 0:
+                continue
+            key, sub = jax.random.split(key)
+            r = jax.random.randint(
+                sub, (int(n_bootstraps), pos.size), 0, pos.size
+            )
+            idx = idx.at[:, pos].set(pos[r])
+        reps = _bootstrap_powers_multiband(
+            jnp.asarray(t), jnp.asarray(y), jnp.asarray(self.err),
+            jnp.asarray(self.bands), idx, self.n_bands,
+            df, float(freq[0]), freq.size,
+            nterms_base=self.nterms_base, nterms_band=self.nterms_band,
+            reg_base=self.reg_base, reg_band=self.reg_band,
+            method=self.method,
+        )
+        self.bs_replicates = np.asarray(reps)
+        return self.bs_replicates
+
+    def fap(self, power):
+        """Bootstrap false-alarm probability of a given (max) power level
+        (run :meth:`bootstrap` first). The analytic Baluev bound does not
+        cover the multiband statistic (its extreme-value argument is
+        derived for the single-sinusoid chi-square), so bootstrap is the
+        only method offered — matching astropy/gatspy, which likewise
+        leave multiband significance to resampling."""
+        return np.mean(power < self.bs_replicates)
+
+    def fal(self, fap):
+        """False-alarm level: the power whose bootstrap FAP is ``fap``."""
+        return np.quantile(self.bs_replicates, 1 - fap)
+
+    def model(self, tf, f0, band):
+        """The fitted multiband model for one band, evaluated at times
+        ``tf``: shared base harmonics plus that band's offset and residual
+        harmonics at frequency ``f0`` (the multiband analog of
+        :meth:`GLS.model` / reference spectral.py:169-204).
+
+        ``band`` is a band name (dict input) or index. The coefficients
+        come from one exact weighted normal-equation solve of the full
+        design at ``f0`` — the same model (and ridge) the periodogram
+        scores, so ``model`` at the peak frequency reproduces the fit the
+        peak's power measured.
+        """
+        s = self._band_index(band)
+        t = jnp.asarray(self.signal.time)
+        y = jnp.asarray(self.signal.values)
+        err = jnp.asarray(self.err)
+        bands = jnp.asarray(self.bands)
+        dtype = jnp.result_type(t.dtype, y.dtype, err.dtype, jnp.float32)
+        w = err ** -2.0
+        w = (w / jnp.sum(w)).astype(dtype)
+        Kb, Ks = self.nterms_base, self.nterms_band
+        S = self.n_bands
+
+        def design(ts, band_of):
+            ph = 2 * jnp.pi * f0 * ts
+            cols = [jnp.ones_like(ts)] + [
+                fn(m * ph)
+                for m in range(1, Kb + 1) for fn in (jnp.cos, jnp.sin)
+            ]
+            for s2 in range(S):
+                mask = (band_of == s2).astype(ts.dtype)
+                cols.append(mask)
+                for m in range(1, Ks + 1):
+                    cols.append(mask * jnp.cos(m * ph))
+                    cols.append(mask * jnp.sin(m * ph))
+            return jnp.stack(cols, axis=1)
+
+        nb = 1 + 2 * Kb
+        ns = 1 + 2 * Ks
+        reg = jnp.concatenate([
+            jnp.full((nb,), self.reg_base, dtype),
+            jnp.full((S * ns,), self.reg_band, dtype),
+        ])
+        X = design(t, bands)
+        Xw = X * w[:, None]
+        theta = jnp.linalg.solve(X.T @ Xw + jnp.diag(reg), Xw.T @ y)
+        tf = jnp.asarray(tf)
+        yf = design(tf, jnp.full(tf.shape, s, jnp.int32)) @ theta
+        return TSeries(tf, yf)
+
+    def refine(self, n_peaks=1, zoom=32, width=2.0):
+        """Exact local refinement of the top multiband peaks: the fast
+        scan locates candidates, then the exact direct design is solved on
+        fine local grids of ``2*width*zoom`` points spanning ±``width``
+        grid cells around each (the :meth:`GLS.refine` recipe — scan fast,
+        land exact). Returns an FSeries over the union of local grids and
+        stores ``self.refined_fbest``."""
+        power = np.asarray(self.periodogram.values)
+        freq = np.asarray(self.frequency)
+        df = freq[1] - freq[0]
+        interior = (power[1:-1] > power[:-2]) & (power[1:-1] >= power[2:])
+        peak_idx = np.flatnonzero(interior) + 1
+        peak_idx = np.union1d(peak_idx, [int(np.argmax(power))])
+        top = peak_idx[np.argsort(power[peak_idx])[::-1][:n_peaks]]
+
+        t = self.signal.time
+        y = self.signal.values
+        n_local = int(2 * width * zoom) + 1
+        segments_f, segments_p = [], []
+        for i in sorted(int(j) for j in top):
+            f_lo = max(freq[i] - width * df, df * 1e-3)
+            df_local = 2 * width * df / (n_local - 1)
+            p_local = gls_power_multiband(
+                t, y, self.err, self.bands, self.n_bands,
+                df_local, f_lo, n_local,
+                nterms_base=self.nterms_base, nterms_band=self.nterms_band,
+                reg_base=self.reg_base, reg_band=self.reg_band,
+                method="direct",
+            )
+            segments_f.append(f_lo + df_local * np.arange(n_local))
+            segments_p.append(np.asarray(p_local))
+        f_all = np.concatenate(segments_f)
+        p_all = np.concatenate(segments_p)
+        order = np.argsort(f_all)
+        refined = FSeries(f_all[order], p_all[order], assume_sorted=True)
+        self.refined_fbest = float(f_all[int(np.argmax(p_all))])
+        return refined
 
 
 class GLS:

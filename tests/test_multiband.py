@@ -155,3 +155,74 @@ def test_multiband_err_as_tseries_sorts_with_signal(multiband_signal):
     np.testing.assert_allclose(
         np.asarray(fs_ts.values), np.asarray(fs_raw.values), rtol=1e-12
     )
+
+
+def test_multiband_bootstrap_fap_fal(multiband_signal):
+    """The detected multiband peak beats the within-band resampled null
+    (mirrors the single-band bootstrap surface at test_multiterm.py)."""
+    t, y, err, bands = multiband_signal
+    mb = MultibandGLS(fmax=2.0)
+    fs = mb(TSeries(t, y), err=err, bands=bands)
+    peak = float(np.max(np.asarray(fs.values)))
+    reps = mb.bootstrap(12, random_seed=0)
+    assert reps.shape == (12,)
+    # null replicates of a strong coherent signal sit well below the peak
+    assert mb.fap(peak) <= 1 / 12
+    # FAL is a decreasing function of FAP and brackets the replicates
+    assert mb.fal(0.01) >= mb.fal(0.5)
+    assert reps.min() <= mb.fal(0.5) <= reps.max()
+    # a tiny power is never significant
+    assert mb.fap(1e-6) == 1.0
+
+
+def test_multiband_model_recovers_band_curves(multiband_signal):
+    """model(tf, f0, band) reproduces each band's offset + sinusoid."""
+    t, y, err, bands = multiband_signal
+    mb = MultibandGLS(fmax=2.0)
+    mb(TSeries(t, y), err=err, bands=bands)
+    f0 = 1 / PERIOD
+    tf = np.linspace(5.0, 35.0, 400)
+    amps = [1.0, 0.7, 1.3]
+    offsets = [0.0, 5.0, -4.0]
+    for s in range(3):
+        pred = np.asarray(mb.model(tf, f0, s).values)
+        truth = offsets[s] + amps[s] * np.sin(
+            2 * np.pi * tf / PERIOD + 2 * np.pi * s / 3
+        )
+        # noise sigma is 0.05; the fit should land within a few sigma
+        assert np.max(np.abs(pred - truth)) < 0.1
+
+
+def test_multiband_model_band_names(multiband_signal):
+    t, y, err, bands = multiband_signal
+    signals = {name: TSeries(t[bands == s], y[bands == s])
+               for name, s in (("g", 0), ("r", 1), ("i", 2))}
+    errs = {name: err[bands == s]
+            for name, s in (("g", 0), ("r", 1), ("i", 2))}
+    mb = MultibandGLS(fmax=2.0)
+    mb(signals, err=errs)
+    tf = np.linspace(10.0, 20.0, 50)
+    by_name = np.asarray(mb.model(tf, 1 / PERIOD, "r").values)
+    by_index = np.asarray(mb.model(tf, 1 / PERIOD, 1).values)
+    np.testing.assert_allclose(by_name, by_index, rtol=1e-12)
+    with pytest.raises(ValueError, match="unknown band"):
+        mb.model(tf, 1 / PERIOD, 7)
+
+
+def test_multiband_refine_lands_exact_peak(multiband_signal):
+    """A deliberately coarse scan localizes the peak to within its grid;
+    refine() lands the exact direct solution well inside one coarse cell."""
+    t, y, err, bands = multiband_signal
+    mb = MultibandGLS(fmax=2.0, n=1)  # coarse: df = 1/baseline
+    mb(TSeries(t, y), err=err, bands=bands)
+    freq = mb.frequency
+    df = freq[1] - freq[0]
+    refined = mb.refine(n_peaks=1, zoom=16)
+    f_true = 1 / PERIOD
+    coarse_best = freq[int(np.argmax(np.asarray(mb.periodogram.values)))]
+    assert abs(coarse_best - f_true) < df
+    assert abs(mb.refined_fbest - f_true) < abs(coarse_best - f_true) + 1e-12
+    assert abs(mb.refined_fbest - f_true) < df / 4
+    # the refined grid is sorted and scores at least the coarse peak
+    rf = np.asarray(refined.values)
+    assert rf.max() >= np.asarray(mb.periodogram.values).max() - 1e-6
