@@ -14,6 +14,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import roofline  # noqa: E402 (analytic utilization models)
 
 
 def _sync_time(fn, reps=3):
@@ -57,12 +59,12 @@ def config1_gls():
         return jax.lax.fori_loop(0, k, body, (y, jnp.float32(0)))[1]
 
     dt = _sync_time(lambda: float(loop(yj))) / k
-    return {
+    return roofline.config1({
         "metric": "gls_periodograms_per_sec_N1e4",
         "value": 1.0 / dt,
         "unit": "periodograms/sec",
         "detail": {"nf": nf, "ms_per_call": dt * 1e3},
-    }
+    })
 
 
 def config2_acf():
@@ -262,12 +264,12 @@ def config5_gp():
 
     dt = _sync_time(lambda: float(loop(walkers))) / k
     evals_per_sec = n_walkers / dt
-    return {
+    return roofline.config5({
         "metric": "celerite_logL_evals_per_sec_N2148",
         "value": evals_per_sec,
         "unit": "evals/sec",
         "detail": {"n_walkers": n_walkers, "ms_per_batch": dt * 1e3},
-    }
+    })
 
 
 def config6_gls_batch():
@@ -305,12 +307,12 @@ def config6_gls_batch():
         return jax.lax.fori_loop(0, k, body, (ys, jnp.float32(0)))[1]
 
     dt = _sync_time(lambda: float(loop(ysj))) / k
-    return {
+    return roofline.config6({
         "metric": "gls_batched_freqs_per_sec_B8_N1e5",
         "value": b * nf / dt,
         "unit": "freqs/sec aggregate",
         "detail": {"ms_per_batch": dt * 1e3, "batch": b},
-    }
+    })
 
 
 def config7_gp_scaling():
@@ -501,12 +503,17 @@ def config9_hht_batch():
         run(yi)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    return {
+    # sift-unit count at the timed shape (the roofline's work unit)
+    from periodicity_tpu.ops.emd import emd_batch
+
+    *_, units = emd_batch(t, ysj + np.float32(1e-4), max_modes=4,
+                          return_units=True)
+    return roofline.config9({
         "metric": "hht_batched_transforms_per_sec_B8_N2048",
         "value": b / dt,
         "unit": "transforms/sec aggregate",
         "detail": {"ms_per_batch": dt * 1e3, "batch": b},
-    }
+    }, sift_units=int(np.sum(np.asarray(units))))
 
 
 def config10_ceemdan():
@@ -675,9 +682,15 @@ def config13_nuts():
         state["n_leapfrog_warmup"] = int(
             np.sum(np.asarray(out["n_leapfrog_warmup"]))
         )
+        state["divergences"] = int(np.sum(np.asarray(out["divergences"])))
+        state["chain"] = np.asarray(out["chain"])
         return float(np.asarray(out["log_probs"])[-1, 0])
 
     dt = _sync_time(run, reps=2)
+    from periodicity_tpu.models.gp.mcmc import ess as _ess, rhat as _rhat
+
+    ess_per_dim = _ess(state["chain"])
+    rhat_per_dim = _rhat(state["chain"])
     # the timed run includes warmup, so count warmup leapfrogs too (each
     # warmup leapfrog does the same gradient work as a sampling one)
     n_total = state["n_leapfrog"] + state["n_leapfrog_warmup"]
@@ -689,7 +702,11 @@ def config13_nuts():
         "detail": {"n_chains": n_chains, "n_steps": n_steps,
                    "n_leapfrog_sampling": state["n_leapfrog"],
                    "n_leapfrog_warmup": state["n_leapfrog_warmup"],
-                   "seconds_per_run": dt},
+                   "seconds_per_run": dt,
+                   "divergences": state["divergences"],
+                   "min_ess": float(np.min(ess_per_dim)),
+                   "ess_per_sec": float(np.min(ess_per_dim) / dt),
+                   "max_rhat": float(np.max(rhat_per_dim))},
     }
 
 

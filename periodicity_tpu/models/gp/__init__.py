@@ -1,7 +1,7 @@
 """Gaussian-process period inference (celerite scan solver, dense QP GP,
 on-device ensemble MCMC, period priors)."""
 
-from .mcmc import autocorr_time, run_ensemble
+from .mcmc import autocorr_time, ess, rhat, run_ensemble
 from .nuts import run_nuts
 from .modelers import (
     BrownianGP,
@@ -35,4 +35,6 @@ __all__ = [
     "run_ensemble",
     "run_nuts",
     "autocorr_time",
+    "ess",
+    "rhat",
 ]

@@ -21,6 +21,8 @@ __all__ = [
     "run_ensemble_checkpointed",
     "run_ensemble_sharded",
     "autocorr_time",
+    "ess",
+    "rhat",
 ]
 
 
@@ -254,3 +256,40 @@ def autocorr_time(chain, c=5, quiet=True):
     if not quiet and np.any(taus * 50 > n_steps):
         raise RuntimeError("chain too short for reliable autocorr time")
     return taus
+
+
+def ess(chain, c=5, tau=None):
+    """Effective sample size per dimension from the FFT autocorrelation
+    time: ``n_steps * n_chains / tau``.
+
+    chain: [n_steps, C, D]. NUTS chains are often ANTI-correlated
+    (tau < 1, ESS above the raw draw count — Stan reports this too); the
+    only clamping here is a tiny positive floor on tau against degenerate
+    constant chains. Pass a precomputed ``tau`` to reuse one estimate.
+    """
+    chain = np.asarray(chain)
+    n_steps, n_chains, _ = chain.shape
+    if tau is None:
+        tau = autocorr_time(chain, c=c)
+    return n_steps * n_chains / np.maximum(np.asarray(tau, float), 1e-3)
+
+
+def rhat(chain):
+    """Split-R-hat convergence diagnostic per dimension (Gelman et al.
+    2013): each chain is split in half, and the pooled between-/within-
+    variance ratio of the 2C half-chains is returned. Values near 1
+    indicate the chains agree; > ~1.01 flags non-convergence.
+
+    chain: [n_steps, C, D] -> [D].
+    """
+    x = np.asarray(chain, float)
+    n, _, _ = x.shape
+    half = n // 2
+    if half < 2:
+        raise ValueError("split R-hat needs at least 4 steps")
+    x = np.concatenate([x[:half], x[half : 2 * half]], axis=1)  # [half, 2C, D]
+    means = x.mean(axis=0)  # [2C, D]
+    within = x.var(axis=0, ddof=1).mean(axis=0)  # [D]
+    between = half * means.var(axis=0, ddof=1)  # [D]
+    var_hat = (half - 1) / half * within + between / half
+    return np.sqrt(var_hat / np.maximum(within, 1e-300))

@@ -74,11 +74,18 @@ def _nuts_run_and_record(modeler, log_prob_fn, x0, k_run, n_steps, n_warmup,
         "n_leapfrog": np.asarray(out["n_leapfrog"]),
         "n_leapfrog_warmup": np.asarray(out["n_leapfrog_warmup"]),
     }
-    log_event("gp_nuts_done", modeler=type(modeler).__name__,
-              acceptance=modeler.acceptance,
-              divergences=int(np.sum(modeler.nuts_diagnostics["divergences"])))
     samples = modeler.chain[burn:].reshape(-1, modeler.ndim)
     tau = _mcmc.autocorr_time(modeler.chain[burn:])
+    modeler.nuts_diagnostics["ess"] = _mcmc.ess(modeler.chain[burn:], tau=tau)
+    try:
+        modeler.nuts_diagnostics["rhat"] = _mcmc.rhat(modeler.chain[burn:])
+    except ValueError:  # fewer than 4 post-burn steps
+        modeler.nuts_diagnostics["rhat"] = np.full(modeler.ndim, np.nan)
+    log_event("gp_nuts_done", modeler=type(modeler).__name__,
+              acceptance=modeler.acceptance,
+              divergences=int(np.sum(modeler.nuts_diagnostics["divergences"])),
+              min_ess=float(np.min(modeler.nuts_diagnostics["ess"])),
+              max_rhat=float(np.nanmax(modeler.nuts_diagnostics["rhat"])))
     modeler.sampler = types.SimpleNamespace(
         chain=modeler.chain, acceptance=modeler.acceptance
     )

@@ -198,14 +198,9 @@ def upper_envelope(t, x, pad_width=2):
     return jnp.where(ok, env, fallback)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "pad_width"))
-def emd_iter(t, x, max_iter=2000, pad_width=2, theta_1=0.05, theta_2=0.50,
-             alpha=0.05):
-    """Extract one IMF by iterated sifting (reference decomposition.py:72-91).
-
-    Returns (mode [N], is_monotonic). The monotonic flag mirrors the
-    reference's ValueError path: the signal ran out of extrema.
-    """
+def _emd_iter_counted(t, x, max_iter=2000, pad_width=2, theta_1=0.05,
+                      theta_2=0.50, alpha=0.05):
+    """emd_iter plus the number of sift evaluations consumed."""
     t = jnp.asarray(t)
     x = jnp.asarray(x)
 
@@ -225,15 +220,31 @@ def emd_iter(t, x, max_iter=2000, pad_width=2, theta_1=0.05, theta_2=0.50,
         return (new_mode, it + 1, finished, mono)
 
     init = (x, jnp.asarray(0), jnp.asarray(False), jnp.asarray(False))
-    mode, _, _, mono = jax.lax.while_loop(cond, body, init)
+    mode, it, _, mono = jax.lax.while_loop(cond, body, init)
     if x.shape[0] < 4:
         mono = jnp.asarray(True)
+    return (mode, mono), it
+
+
+@partial(jax.jit, static_argnames=("max_iter", "pad_width"))
+def emd_iter(t, x, max_iter=2000, pad_width=2, theta_1=0.05, theta_2=0.50,
+             alpha=0.05):
+    """Extract one IMF by iterated sifting (reference decomposition.py:72-91).
+
+    Returns (mode [N], is_monotonic). The monotonic flag mirrors the
+    reference's ValueError path: the signal ran out of extrema.
+    """
+    (mode, mono), _ = _emd_iter_counted(
+        t, x, max_iter=max_iter, pad_width=pad_width,
+        theta_1=theta_1, theta_2=theta_2, alpha=alpha,
+    )
     return mode, mono
 
 
-@partial(jax.jit, static_argnames=("max_modes", "max_iter", "pad_width"))
+@partial(jax.jit, static_argnames=("max_modes", "max_iter", "pad_width",
+                                   "return_units"))
 def emd_batch(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
-              theta_2=0.50, alpha=0.05):
+              theta_2=0.50, alpha=0.05, return_units=False):
     """Full EMD of a BATCH of series sharing one time grid.
 
     The estimator-level batch axis the strictly single-series reference
@@ -245,6 +256,11 @@ def emd_batch(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
     t [N], Y [B, N] -> (modes [B, max_modes, N], residue [B, N],
     n_modes [B]). Mode slots past a member's own count are zero; the
     decomposition of each member matches sequential ``EMD()(y_b)`` exactly.
+
+    ``return_units=True`` appends a 4th output ``sift_units [B]`` — the
+    number of sift evaluations each member consumed — the work unit for
+    throughput/roofline accounting (each sift is a fixed-cost pass:
+    extrema masks, two capacity-K spline solves, an N-point evaluation).
     """
     t = jnp.asarray(t)
     Y = jnp.asarray(Y)
@@ -252,19 +268,23 @@ def emd_batch(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
     def one(y):
         def step(carry, _):
             residue, done = carry
-            mode, mono = emd_iter(
+            (mode, mono), its = _emd_iter_counted(
                 t, residue, max_iter=max_iter, pad_width=pad_width,
                 theta_1=theta_1, theta_2=theta_2, alpha=alpha,
             )
             take = (~done) & (~mono)
             out = jnp.where(take, mode, jnp.zeros_like(mode))
             residue = jnp.where(take, residue - mode, residue)
-            return (residue, done | mono), (out, take)
+            units = jnp.where(done, 0, its)
+            return (residue, done | mono), (out, take, units)
 
         init_done = jnp.asarray(y.shape[-1] < 4)
-        (residue, _), (modes, takes) = jax.lax.scan(
+        (residue, _), (modes, takes, units) = jax.lax.scan(
             step, (y, init_done), None, length=max_modes
         )
-        return modes, residue, jnp.sum(takes)
+        return modes, residue, jnp.sum(takes), jnp.sum(units)
 
-    return jax.vmap(one)(Y)
+    modes, residue, n_modes, units = jax.vmap(one)(Y)
+    if return_units:
+        return modes, residue, n_modes, units
+    return modes, residue, n_modes

@@ -127,3 +127,60 @@ def test_qpgp_nuts_smoke(synthetic_rotator):
     period_s = np.exp(samples[5])
     ratio = tau_s / period_s
     assert np.all((ratio > 1.0) & (ratio < 10.0))
+
+
+def test_nuts_agrees_with_ensemble_mcmc(synthetic_rotator):
+    """Cross-validation of the two samplers on the SAME posterior
+    (BrownianGP): posterior quantiles from the gradient-based NUTS chains
+    and the ensemble stretch-move chains must agree within Monte-Carlo
+    error — the cheapest end-to-end check against a subtle sampler bias
+    (either a wrong NUTS tree criterion or a wrong ensemble move would
+    show up as a shifted or mis-scaled posterior)."""
+    sig, dy, period = synthetic_rotator
+    model_ens = BrownianGP(sig, err=dy, init_period=8.0)
+    trace_ens, _ = model_ens.mcmc(
+        n_walkers=30, n_steps=500, burn=200, random_seed=1,
+    )
+    model_nuts = BrownianGP(sig, err=dy, init_period=8.0)
+    trace_nuts, _ = model_nuts.nuts(
+        n_chains=2, n_steps=400, n_warmup=300, burn=100, max_depth=6,
+        random_seed=2,
+    )
+    p_ens = np.asarray(trace_ens["period"])
+    p_nuts = np.asarray(trace_nuts["period"])
+    q_ens = np.quantile(p_ens, [0.16, 0.5, 0.84])
+    q_nuts = np.quantile(p_nuts, [0.16, 0.5, 0.84])
+    scale = max(q_ens[2] - q_ens[0], 1e-3)  # posterior width
+    # medians within half a posterior sigma of each other, both near truth
+    assert abs(q_ens[1] - q_nuts[1]) < 0.5 * scale
+    assert abs(q_nuts[1] - period) / period < 0.15
+    # the 16/84 quantiles (posterior shape) agree to within the width
+    assert abs(q_ens[0] - q_nuts[0]) < 0.75 * scale
+    assert abs(q_ens[2] - q_nuts[2]) < 0.75 * scale
+
+
+def test_nuts_diagnostics_ess_rhat(synthetic_rotator):
+    """nuts_diagnostics carries ESS and split-R-hat per dimension, and
+    healthy chains on a well-identified posterior pass both gates."""
+    sig, dy, _ = synthetic_rotator
+    model = BrownianGP(sig, err=dy, init_period=8.0)
+    model.nuts(n_chains=2, n_steps=300, n_warmup=300, burn=50,
+               max_depth=6, random_seed=42)
+    d = model.nuts_diagnostics
+    assert d["ess"].shape == (model.ndim,)
+    assert d["rhat"].shape == (model.ndim,)
+    assert np.all(d["ess"] > 20)
+    assert np.all(d["rhat"] < 1.2)
+
+
+def test_ess_rhat_estimators_iid():
+    """On iid draws ESS ~ the raw draw count and split-R-hat ~ 1."""
+    from periodicity_tpu.gp import ess, rhat
+
+    rng = np.random.default_rng(0)
+    chain = rng.standard_normal((2000, 4, 3))
+    e = ess(chain)
+    r = rhat(chain)
+    assert e.shape == (3,) and r.shape == (3,)
+    assert np.all(e > 0.5 * 8000) and np.all(e < 2.0 * 8000)
+    np.testing.assert_allclose(r, 1.0, atol=0.01)
