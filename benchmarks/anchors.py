@@ -700,10 +700,48 @@ def anchor10():
     }
 
 
+def anchor14():
+    """Config 14: long-series GLS, N=1e6 samples x nf=1e5 — the
+    reference's own _trig_sum pipeline at the same shape (it caps out at
+    N=74,326 in practice, SURVEY §5.7; this measures what it WOULD cost),
+    plus the N=2^21 FFT ACF (core.py:578-608) in detail."""
+    trig_sum = _load_ref_trig_sum()
+    n, nf = 1_000_000, 100_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 1000.0, n))
+    y = np.sin(2 * np.pi * t / 7.7)
+    err = np.full(n, 0.3)
+    df = 1.0 / (1000.0 * 5)
+    fmin = df / 2
+    dt = _timeit(lambda: _ref_gls_power(trig_sum, t, y, err, df, fmin, nf),
+                 min_time=0.0, max_reps=2)
+
+    n_acf = 1 << 21
+    y2 = np.sin(2 * np.pi * np.arange(n_acf) / 5000.0)
+
+    def run_acf():
+        yc = y2 - y2.mean()
+        ps = np.abs(np.fft.rfft(yc, n=2 * n_acf)) ** 2
+        r = np.fft.irfft(ps)[:n_acf]
+        return r / r[0]
+
+    dt_acf = _timeit(run_acf, min_time=0.0, max_reps=3)
+    return {
+        "config": 14,
+        "cpu_units_per_sec": 1.0 / dt,
+        "unit": "periodograms/sec",
+        "cpu_anchor_sec": dt,
+        "anchored_by": "reference _trig_sum GLS (spectral.py:11-40,"
+                       "99-132) at N=1e6, nf=1e5, numpy float64",
+        "detail": {"acf_n": n_acf, "acf_sec": dt_acf,
+                   "acf_per_sec": 1.0 / dt_acf},
+    }
+
+
 ANCHORS = {
     1: anchor1, 2: anchor2, 3: anchor3, 4: anchor4, 5: anchor5,
     6: anchor6, 7: anchor7, 8: anchor8, 9: anchor9, 10: anchor10,
-    11: anchor11, 12: anchor12, 13: anchor13,
+    11: anchor11, 12: anchor12, 13: anchor13, 14: anchor14,
 }
 
 

@@ -710,6 +710,72 @@ def config13_nuts():
     }
 
 
+def config14_long_series():
+    """Single-chip long-series point (SURVEY §5.7: the reference caps out
+    at N=74,326 sunspot samples — this is where the TPU build visibly
+    dwarfs it): one GLS periodogram of an N=1e6-sample light curve over
+    nf=1e5 trial frequencies, plus an N=2^21 FFT-ACF in detail. The
+    extirpolation grid stays modest (nfft = 2^19), so the dominant work
+    is the N=1e6 sample gridding — the opposite balance from config 6."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.spectral import gls_power
+
+    n, nf = 1_000_000, 100_000
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 1000.0, n)).astype(np.float32)
+    y = (np.sin(2 * np.pi * t / 7.7)
+         + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    err = np.full(n, 0.3, np.float32)
+    df = np.float32(1.0 / (1000.0 * 5))
+    fmin = np.float32(df / 2)
+    tj, yj, ej = jnp.asarray(t), jnp.asarray(y), jnp.asarray(err)
+    k = 10
+
+    @jax.jit
+    def loop(y):
+        def body(_, carry):
+            y, acc = carry
+            p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1,
+                          gridder="pallas")
+            return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
+
+        return jax.lax.fori_loop(0, k, body, (y, jnp.float32(0)))[1]
+
+    dt = _sync_time(lambda: float(loop(yj))) / k
+
+    # FFT ACF at N=2^21 (~2.1M uniform samples) — 28x the reference's
+    # largest series, single chip, one jit
+    n_acf = 1 << 21
+    y2 = (np.sin(2 * np.pi * np.arange(n_acf) / 5000.0)
+          + 0.1 * rng.standard_normal(n_acf)).astype(np.float32)
+    y2j = jnp.asarray(y2)
+    k2 = 10
+
+    @jax.jit
+    def loop_acf(y0):
+        def body(_, carry):
+            y, acc = carry
+            yc = y - jnp.mean(y)
+            ps = jnp.abs(jnp.fft.rfft(yc, n=2 * n_acf)) ** 2
+            r = jnp.fft.irfft(ps)[:n_acf]
+            r = r / r[0]
+            return (y + r * 1e-9, acc + r[1])
+
+        return jax.lax.fori_loop(0, k2, body, (y0, jnp.float32(0)))[1]
+
+    dt_acf = _sync_time(lambda: float(loop_acf(y2j))) / k2
+    return {
+        "metric": "gls_long_series_periodograms_per_sec_N1e6_nf1e5",
+        "value": 1.0 / dt,
+        "unit": "periodograms/sec",
+        "detail": {"n": n, "nf": nf, "sec_per_call": dt,
+                   "acf_n": n_acf, "acf_sec_per_call": dt_acf,
+                   "acf_per_sec": 1.0 / dt_acf},
+    }
+
+
 CONFIGS = {
     1: config1_gls,
     2: config2_acf,
@@ -724,6 +790,7 @@ CONFIGS = {
     11: config11_bls,
     12: config12_multiterm,
     13: config13_nuts,
+    14: config14_long_series,
 }
 
 
@@ -752,7 +819,8 @@ def _join_anchor(result, anchor):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10,11,12,13")
+    ap.add_argument("--configs",
+                    default="1,2,3,4,5,6,7,8,9,10,11,12,13,14")
     args = ap.parse_args()
     anchors = _load_anchors()
     for c in [int(x) for x in args.configs.split(",")]:

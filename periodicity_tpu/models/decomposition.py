@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core import TSeries
 from ..utils.logging import log_event
-from ..ops.emd import emd_iter
+from ..ops.emd import emd_iter, emd_iter_pool, emd_pool
 from ..ops.lmd import lmd_sift as _lmd_sift, lmd_iter as _lmd_iter
 
 __all__ = ["EMD", "CEEMDAN", "LMD", "VMD"]
@@ -216,41 +216,37 @@ class CEEMDAN:
         self.rng = np.random.default_rng(random_seed)
 
     def _batch_iter(self, t, X):
-        """vmapped single-mode extraction over the ensemble axis."""
+        """Single-mode extraction over the ensemble axis, through the
+        lane-retiring pool driver (ops.emd.emd_iter_pool): realizations
+        whose sift converges early stop consuming device time instead of
+        riding the lock-step ensemble until the slowest one finishes —
+        the reference's Pool fan-out (decomposition.py:277,304) scales
+        with cores; this scales with retired lanes. Small ensembles
+        (< 16, under the pool's minimum bucket) stay on the one-jit
+        vmapped kernel, where per-segment host syncs would only add
+        latency."""
         emd = self.emd
-
-        def one(x):
-            return emd_iter(
-                t, x,
-                max_iter=emd.max_iter,
-                pad_width=emd.pad_width,
-                theta_1=emd.theta_1,
-                theta_2=emd.theta_2,
-                alpha=emd.alpha,
-            )
-
-        return jax.vmap(one)(X)
+        kw = dict(
+            max_iter=emd.max_iter, pad_width=emd.pad_width,
+            theta_1=emd.theta_1, theta_2=emd.theta_2, alpha=emd.alpha,
+        )
+        if X.shape[0] < 16:
+            return jax.vmap(lambda x: emd_iter(t, x, **kw))(X)
+        return emd_iter_pool(t, X, **kw)
 
     def _noise_modes(self, t, noise, max_modes_cap):
-        """Full EMD of each ensemble noise realization -> [E, M, N] modes."""
-        residues = jnp.asarray(noise)
-        e = residues.shape[0]
-        active = np.ones(e, bool)
-        modes = []
-        counts = np.zeros(e, int)
-        for _ in range(max_modes_cap):
-            if not active.any():
-                break
-            m, mono = self._batch_iter(t, residues)
-            take = jnp.asarray(active) & ~mono
-            newmode = jnp.where(take[:, None], m, 0.0)
-            modes.append(newmode)
-            counts += np.asarray(take)
-            residues = residues - newmode
-            active = np.asarray(take)
-        if not modes:
-            modes = [jnp.zeros_like(residues)]
-        return jnp.stack(modes, axis=1), counts
+        """Full EMD of each ensemble noise realization -> [E, M, N] modes
+        (one pooled multi-mode run; realizations retire as their
+        decompositions complete)."""
+        emd = self.emd
+        modes, _, counts = emd_pool(
+            t, jnp.asarray(noise), max_modes=max_modes_cap,
+            max_iter=emd.max_iter, pad_width=emd.pad_width,
+            theta_1=emd.theta_1, theta_2=emd.theta_2, alpha=emd.alpha,
+        )
+        counts = np.asarray(counts)
+        m_used = max(1, int(counts.max()))
+        return modes[:, :m_used, :], counts
 
     def __call__(self, signal, max_modes=None, progress=False):
         if not isinstance(signal, TSeries):

@@ -65,25 +65,40 @@ def local_maxima_info(x):
     if n < 3:
         z = jnp.zeros((n,), jnp.int32)
         return jnp.zeros((n,), bool), z, z
-    idx = jnp.arange(n - 1)
-    # change position i means x[i+1] != x[i]; sentinel n where no change
-    chg = jnp.where(x[1:] != x[:-1], idx, n)
-    # next_chg[i] = min_{j>=i} chg[j]  (first value-change at or after i)
-    next_chg = jnp.flip(jax.lax.cummin(jnp.flip(chg)))
-    i = jnp.arange(1, n - 1)
-    rising = x[1:-1] > x[:-2]
-    j = next_chg[1:]  # first change at or after each i in [1, n-1)
-    falls = (j <= n - 2) & (x[jnp.clip(j + 1, 0, n - 1)] < x[1:-1])
-    valid = rising & falls
-    mid = jnp.where(valid, (i + j) // 2, n)
-    mask = jnp.zeros((n + 1,), bool).at[mid].set(True, mode="drop")
-    left = jnp.zeros((n + 1,), jnp.int32).at[mid].set(
-        i.astype(jnp.int32), mode="drop"
+    # Scatter-free twin-scan formulation. A scatter costs ~13 ns/index on
+    # the TPU (docs/performance.md), which made the previous
+    # midpoint-scatter version the single hottest op of the EMD sift; two
+    # packed int32 scans + elementwise decode do the same job at
+    # bandwidth speed. Each position m decodes its plateau directly:
+    #   run_start(m) = last change position <= m (cummax of packed keys),
+    #   run_end(m)   = last plateau sample (reverse cummin of packed keys),
+    # with the rising/falling comparison carried in the key's low bit so
+    # no gather back into x is needed.
+    diff_gt = x[1:] > x[:-1]
+    diff_lt = x[1:] < x[:-1]
+    chg = diff_gt | diff_lt  # x[k] != x[k-1] at change position k = 1..n-1
+    k = jnp.arange(1, n, dtype=jnp.int32)
+    key_l = jnp.where(chg, 2 * k + diff_gt.astype(jnp.int32), -1)
+    v_l = jax.lax.cummax(
+        jnp.concatenate([jnp.full((1,), -1, jnp.int32), key_l])
     )
-    right = jnp.zeros((n + 1,), jnp.int32).at[mid].set(
-        j.astype(jnp.int32), mode="drop"
-    )
-    return mask[:n], left[:n], right[:n]
+    has_l = v_l >= 0
+    run_start = jnp.where(has_l, v_l >> 1, 0)
+    rising = has_l & ((v_l & 1) == 1)
+    # change between k and k+1 recorded AT k = 0..n-2; sentinel at n-1
+    kk = jnp.arange(0, n - 1, dtype=jnp.int32)
+    key_r = jnp.where(chg, 2 * kk + diff_lt.astype(jnp.int32),
+                      2 * (n - 1) + 1)
+    v_r = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([key_r, jnp.full((1,), 2 * (n - 1) + 1, jnp.int32)])
+    )))
+    run_end = v_r >> 1
+    falling = ((v_r & 1) == 1) & (run_end <= n - 2)
+    m = jnp.arange(n, dtype=jnp.int32)
+    mask = rising & falling & (m == (run_start + run_end) // 2)
+    left = jnp.where(mask, run_start, 0)
+    right = jnp.where(mask, run_end, 0)
+    return mask, left, right
 
 
 def local_maxima_mask(x):

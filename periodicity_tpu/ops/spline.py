@@ -230,11 +230,16 @@ def spline_eval(x, y, s, xnew, count=None, hi=None):
         i = jnp.clip(hi - 1, 0, jnp.maximum(count - 2, 0))
         # keep within the valid segment range even when xnew beyond x[count-1]
         i = jnp.minimum(i, jnp.maximum(count - 2, 0))
-    x0 = x[i]
-    h = x[i + 1] - x0
+    # Interval data rides ONE row gather instead of six element gathers:
+    # gather cost on TPU is per INDEX (~13 ns, docs/performance.md), so
+    # packing (x0, x1, y0, y1, s0, s1) into [K, 6] rows cuts the eval's
+    # gather bill 6x — it was the hottest op of the EMD sift envelope.
+    nxt = jnp.concatenate([jnp.arange(1, k), jnp.asarray([k - 1])])
+    P = jnp.stack([x, x[nxt], y, y[nxt], s, s[nxt]], axis=-1)  # [K, 6]
+    rows = P[i]  # [M, 6]
+    x0, x1, y0, y1, s0, s1 = (rows[..., j] for j in range(6))
+    h = x1 - x0
     t = (xnew - x0) / h
-    y0, y1 = y[i], y[i + 1]
-    s0, s1 = s[i], s[i + 1]
     h00 = (1 + 2 * t) * (1 - t) ** 2
     h10 = t * (1 - t) ** 2
     h01 = t * t * (3 - 2 * t)
