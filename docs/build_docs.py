@@ -136,7 +136,18 @@ def build(outdir=None):
         doc = tut.read_text().split('"""')[1] if '"""' in tut.read_text() else ""
         head = f"<h1>{html.escape(tut.stem.replace('_', ' '))}</h1>"
         head += f"<p>{html.escape(doc.strip().splitlines()[0] if doc else '')}</p>"
-        body = head + _highlight_source(tut)
+        # rendered-figure artifacts (reference tutorials are notebooks with
+        # inline figures): the CI docs job executes each tutorial with
+        # PERIODICITY_TPU_FIGDIR pointing at <out>/figures BEFORE building,
+        # and any PNG named <stem>*.png is embedded above the source
+        figures = sorted((out / "figures").glob(f"{tut.stem}*.png")) \
+            if (out / "figures").is_dir() else []
+        fig_html = "".join(
+            f'<figure><img src="figures/{f.name}" alt="{html.escape(f.stem)}"'
+            f' style="max-width:100%"/></figure>'
+            for f in figures
+        )
+        body = head + fig_html + _highlight_source(tut)
         (out / f"{tut.stem}.html").write_text(
             _render(tut.stem, body, tut.stem, tutorials)
         )

@@ -6,14 +6,33 @@ spectrum of the KIC 9655172 light curve, cone-of-influence masking,
 scale-averaged variance and global spectrum — plus the jitted DWT
 soft-threshold denoiser this framework adds on top.
 
-Run: python docs/tutorials/wavelet_spotted_star.py  (saves PNGs to CWD)
+Run: python docs/tutorials/wavelet_spotted_star.py
+(saves PNGs to $PERIODICITY_TPU_FIGDIR, or the CWD when unset)
 """
+
+import os
+
+import jax
+
+# pin CPU so the tutorial runs the same everywhere (the ambient platform
+# may be a TPU relay, where f32 grids also trip the strict-df ACF check)
+jax.config.update("jax_platforms", "cpu")
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
+
+import _figtools as figs
+
+OUT = figs.fig_dir() or "."
+
+
+def _save(name):
+    plt.savefig(os.path.join(OUT, f"wavelet_spotted_star_{name}.png"),
+                dpi=120, bbox_inches="tight")
+    plt.close()
 
 from periodicity_tpu.core import TSeries
 from periodicity_tpu.data import SpottedStar
@@ -36,8 +55,7 @@ def main():
     plt.yscale("log")
     plt.xlabel("Time [d]")
     plt.ylabel("Period [d]")
-    plt.savefig("wps_spectrum.png", dpi=120)
-    plt.close()
+    _save("spectrum")
 
     # --- scale-averaged variance: in-cone masking matters at the edges ---
     plt.figure(figsize=(8, 3))
@@ -47,8 +65,7 @@ def main():
     plt.xlabel("Time [d]")
     plt.ylabel("SAV")
     plt.legend()
-    plt.savefig("wps_sav.png", dpi=120)
-    plt.close()
+    _save("sav")
 
     # --- global spectrum: the stellar rotation period ---------------------
     gwps = wps.gwps()
@@ -67,8 +84,7 @@ def main():
     plt.xlabel("Period [d]")
     plt.ylabel("GWPS")
     plt.legend()
-    plt.savefig("wps_gwps.png", dpi=120)
-    plt.close()
+    _save("gwps")
 
     # --- DWT soft-threshold denoising (single jitted program) ------------
     noise_level = float(np.median(dy))
@@ -79,8 +95,7 @@ def main():
     plt.xlabel("Time [d]")
     plt.ylabel("Norm. flux")
     plt.legend()
-    plt.savefig("wps_denoised.png", dpi=120)
-    plt.close()
+    _save("denoised")
 
 
 if __name__ == "__main__":

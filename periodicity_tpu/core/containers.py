@@ -39,6 +39,22 @@ from ..ops import optimize as _optimize
 __all__ = ["Signal", "TSeries", "FSeries", "TFSeries"]
 
 
+def _uniform_spacing(coord):
+    """Median spacing when the grid is uniform up to dtype rounding, else
+    None. Constructed-uniform grids (rfftfreq, arange) accumulate up to a
+    few ulps of the COORDINATE magnitude in float32, so the tolerance is
+    dtype-aware: genuinely irregular grids still fail it."""
+    c = np.asarray(coord)
+    d = np.diff(c)
+    md = np.median(d)
+    atol = 0.0
+    if np.issubdtype(c.dtype, np.floating):
+        atol = 8 * np.finfo(c.dtype).eps * float(np.max(np.abs(c)))
+    if np.allclose(d, md, rtol=1e-5, atol=atol):
+        return md
+    return None
+
+
 def _scalar(x):
     """Return 0-d jnp scalars as-is; they behave like python floats."""
     return x
@@ -700,9 +716,7 @@ class TSeries(Signal):
 
     @property
     def dt(self):
-        d = np.diff(np.asarray(self._time))
-        md = np.median(d)
-        if np.allclose(d, md):
+        if _uniform_spacing(self._time) is not None:
             return self.median_dt
         raise AttributeError(
             "The sampling period is only strictly defined for "
@@ -1165,8 +1179,7 @@ class FSeries(Signal):
 
     @property
     def df(self):
-        d = np.diff(np.asarray(self._frequency))
-        if np.allclose(d, np.median(d)):
+        if _uniform_spacing(self._frequency) is not None:
             return self.median_df
         raise AttributeError(
             "The sampling period is only strictly defined for "
@@ -1376,8 +1389,7 @@ class TFSeries(Signal):
 
     @property
     def dt(self):
-        d = np.diff(np.asarray(self._time))
-        if np.allclose(d, np.median(d)):
+        if _uniform_spacing(self._time) is not None:
             return self.median_dt
         raise AttributeError(
             "The sampling period is only strictly defined for "
@@ -1390,8 +1402,7 @@ class TFSeries(Signal):
 
     @property
     def df(self):
-        d = np.diff(np.asarray(self._frequency))
-        if np.allclose(d, np.median(d)):
+        if _uniform_spacing(self._frequency) is not None:
             return self.median_df
         raise AttributeError(
             "The sampling period is only strictly defined for "

@@ -134,37 +134,38 @@ def sift(t, x, pad_width=2):
     """
     n = t.shape[0]
     cap = n // 2 + 2
-    neg = -x
-    peak_mask = _peaks.local_maxima_mask(x)
-    dip_mask = _peaks.local_maxima_mask(neg)
-    n_peaks = jnp.sum(peak_mask)
-    n_dips = jnp.sum(dip_mask)
-    n_ext = n_peaks + n_dips
+    # The upper (maxima of x) and lower (maxima of -x, negated) envelope
+    # pipelines are identical programs on different data — run them as ONE
+    # 2-wide vmapped chain instead of two sequential chains: the sift is
+    # dependency-latency bound at these shapes, so halving the op count
+    # matters more than the (free) doubled width.
+    xx = jnp.stack([x, -x])
+    masks = jax.vmap(_peaks.local_maxima_mask)(xx)
+    n_each = jnp.sum(masks, axis=1)
+    n_ext = n_each[0] + n_each[1]
     n_zero = jnp.sum(_peaks.zero_crossings_mask(x))
 
-    pt, pv, pm = _compact_with_edges(t, x, peak_mask, cap)
-    dt_, dv, dm = _compact_with_edges(t, neg, dip_mask, cap)
-    dv = -dv
+    def envelope(xv, maskv):
+        et, ev, m = _compact_with_edges(t, xv, maskv, cap)
+        pt, pv, cnt = _pad_reflect_drop(et, ev, m, pad_width)
+        # The padded knot vector is [pad_width reflections < t[0]] +
+        # [interior extrema] + [reflections > t[-1]] (the original edge
+        # samples are DROPPED, reference decomposition.py:55-60), and
+        # every query is a sample of t itself — so searchsorted(knots,
+        # t[i], "right") is just pad_width + #{interior extrema at
+        # positions <= i}: one cumsum of the extrema mask instead of a
+        # search per envelope.
+        hi = pad_width + jnp.cumsum(maskv.astype(jnp.int32))
+        env = _spline.spline_interp(
+            pt, pv, t, count=jnp.maximum(cnt, 4), hi=hi
+        )
+        return env, cnt
 
-    ppt, ppv, pcount = _pad_reflect_drop(pt, pv, pm, pad_width)
-    dpt, dpv, dcount = _pad_reflect_drop(dt_, dv, dm, pad_width)
-
-    ok = (n_peaks >= pad_width) & (n_dips >= pad_width)
-    ok = ok & (pcount >= 4) & (dcount >= 4)
-    # guard the solves against degenerate knot sets
-    pc_s = jnp.maximum(pcount, 4)
-    dc_s = jnp.maximum(dcount, 4)
-    # The padded knot vector is [pad_width reflections < t[0]] + [interior
-    # extrema] + [reflections > t[-1]] (the original edge samples are
-    # DROPPED, reference decomposition.py:55-60), and every query is a
-    # sample of t itself — so searchsorted(knots, t[i], "right") is just
-    # pad_width + #{interior extrema at positions <= i}: one cumsum of the
-    # extrema mask instead of an O(N*K) comparison-sum per envelope (the
-    # dominant batch-proportional cost of the sift loop).
-    hi_up = pad_width + jnp.cumsum(peak_mask.astype(jnp.int32))
-    hi_lo = pad_width + jnp.cumsum(dip_mask.astype(jnp.int32))
-    upper = _spline.spline_interp(ppt, ppv, t, count=pc_s, hi=hi_up)
-    lower = _spline.spline_interp(dpt, dpv, t, count=dc_s, hi=hi_lo)
+    envs, counts = jax.vmap(envelope)(xx, masks)
+    upper = envs[0]
+    lower = -envs[1]
+    ok = (n_each[0] >= pad_width) & (n_each[1] >= pad_width)
+    ok = ok & (counts[0] >= 4) & (counts[1] >= 4)
     mu = (upper + lower) / 2
     amp = (upper - lower) / 2
     sigma = jnp.abs(mu / amp)

@@ -299,9 +299,38 @@ def sosfilt(sos, x, zi=None):
     return y, zf
 
 
+def _sosfilt_np(sos, x, zi):
+    """Float64 host mirror of :func:`sosfilt` (direct form II transposed)."""
+    b = sos[:, :3] / sos[:, 3:4]
+    a = sos[:, 3:] / sos[:, 3:4]
+    ns = sos.shape[0]
+    z = np.array(zi, np.float64)
+    y = np.empty_like(x)
+    for t in range(x.shape[0]):
+        v = x[t]
+        for s in range(ns):
+            out = b[s, 0] * v + z[s, 0]
+            z[s, 0] = b[s, 1] * v - a[s, 1] * out + z[s, 1]
+            z[s, 1] = b[s, 2] * v - a[s, 2] * out
+            v = out
+        y[t] = v
+    return y
+
+
 def sosfiltfilt(sos, x):
     """Zero-phase forward-backward filtering (scipy.signal.sosfiltfilt parity:
-    odd padding with default padlen, steady-state initial conditions)."""
+    odd padding with default padlen, steady-state initial conditions).
+
+    Precision note: an IIR recursion is NOT float32-safe — narrow bands
+    put poles within ~1e-3 of the unit circle, where single-precision
+    state feedback amplifies rounding into O(1) garbage (observed: the
+    band-passed ACF of SpottedStar grows a spurious dominant peak). When
+    the input is not float64 the sequential recursion therefore runs on
+    the host in float64 (numpy) and the result is cast back; with x64
+    enabled the jittable lax.scan path is used unchanged. The filter is
+    inherently sequential and runs eagerly from the container API, so the
+    host round-trip costs nothing architectural.
+    """
     sos_np = np.asarray(sos, float)
     x = jnp.asarray(x)
     n = x.shape[0]
@@ -310,6 +339,15 @@ def sosfiltfilt(sos, x):
     edge = ntaps * 3
     if n <= edge:
         raise ValueError("The length of the input vector x must be greater than padlen.")
+    if x.dtype != jnp.float64:
+        xf = np.asarray(x, np.float64)
+        left = 2 * xf[0] - xf[1 : edge + 1][::-1]
+        right = 2 * xf[-1] - xf[-(edge + 1) : -1][::-1]
+        ext = np.concatenate([left, xf, right])
+        zi = sosfilt_zi(sos_np)
+        y = _sosfilt_np(sos_np, ext, zi * ext[0])
+        y2 = _sosfilt_np(sos_np, y[::-1], zi * y[-1])
+        return jnp.asarray(y2[::-1][edge : edge + n], x.dtype)
     # odd extension
     left = 2 * x[0] - x[1 : edge + 1][::-1]
     right = 2 * x[-1] - x[-(edge + 1) : -1][::-1]

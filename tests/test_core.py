@@ -150,3 +150,47 @@ def test_split_and_join():
     assert parts[0].size == 3
     rejoined = parts[0].join(parts[1])
     np.testing.assert_allclose(np.asarray(rejoined.time), t)
+
+
+def test_butterworth_float32_narrow_band_stable():
+    """An IIR recursion is not float32-safe: narrow bands put poles within
+    ~1e-3 of the unit circle where single-precision feedback amplifies
+    rounding into O(1) garbage. sosfiltfilt must route f32 inputs through
+    the host float64 recursion, so the filtered output matches the f64
+    oracle to f32 resolution even at extreme band edges."""
+    from scipy import signal as ssig
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    t = np.arange(n) * 0.02
+    x = rng.standard_normal(n)
+    nyq = 0.5 / 0.02
+    lo, hi = (1 / 32) / nyq, (1 / 0.06) / nyq  # the ACF-quality band
+    hi = min(hi, 0.99)
+    sig32 = TSeries(t.astype(np.float32), x.astype(np.float32))
+    got = np.asarray(sig32.butterworth(fmin=1 / 32, fmax=1 / 0.06).values)
+    sos = ssig.butter(5, [lo, hi], btype="bandpass", output="sos")
+    ref = ssig.sosfiltfilt(sos, x)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, ref, atol=5e-4 * np.abs(ref).max())
+
+
+def test_gaussian_prior_f32_matches_f64():
+    """The SpottedStar prior parity point (argmax bin 671) must hold in
+    float32 too — it regressed once via f32 IIR instability in the
+    ACF-quality band-pass."""
+    import jax
+
+    from periodicity_tpu.data import SpottedStar
+    from periodicity_tpu.gp import make_gaussian_prior
+
+    x64_was = jax.config.read("jax_enable_x64")
+    try:
+        jax.config.update("jax_enable_x64", False)
+        t, y, _ = SpottedStar()
+        sig = TSeries(t, y)
+        grid = np.linspace(-3, 5, 1000)
+        prior = make_gaussian_prior(sig)(grid)
+        assert int(np.argmax(prior)) == 671
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
