@@ -508,6 +508,14 @@ def anchor7():
                        "N=1e6",
         "note": _celerite_note(),
         "detail": points,
+        # config 7's metric N depends on which solver beat the compile
+        # deadline — the join must compare same-N points (run_benchmarks
+        # _join_anchor reads this)
+        "per_n": {
+            "10000": points["N10000"]["evals_per_sec"],
+            "100000": points["N100000"]["evals_per_sec"],
+            "1000000": points["N1000000_extrapolated"]["evals_per_sec"],
+        },
     }
 
 

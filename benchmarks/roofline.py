@@ -72,7 +72,7 @@ def _gls_eval(n, nf, paired=True):
 def config1(result):
     n, nf = 10_000, 25_000
     flops, byts = _gls_eval(n, nf, paired=True)
-    rate = result["value"] / nf  # periodograms/sec
+    rate = result["value"]  # already periodograms/sec
     return _annotate(result, rate * flops, rate * byts,
                      "extirpolation+FFT pipeline; FFT-bandwidth bound at "
                      "this nf — small grids underfill the chip")
