@@ -750,7 +750,9 @@ def config14_long_series():
             y, acc = carry
             p = gls_power(tj, y, ej, df, fmin, nf, pair_q=1,
                           gridder="pallas")
-            return (y + p[: y.shape[0]] * 1e-9, acc + p[0])
+            # nf < n here: feed the whole spectrum back into the first nf
+            # samples to keep iterations data-dependent
+            return (y.at[: p.shape[0]].add(p * 1e-9), acc + p[0])
 
         return jax.lax.fori_loop(0, k, body, (y, jnp.float32(0)))[1]
 
@@ -844,9 +846,18 @@ def main():
             ap.error(
                 f"unknown config {c}; choose from {sorted(CONFIGS)}"
             )
-        result = CONFIGS[c]()
+        try:
+            result = CONFIGS[c]()
+        except Exception as e:  # a relay/worker fault must not kill the
+            # remaining configs (observed: TPU worker crash mid-suite)
+            print(f"config {c} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            print(json.dumps({"metric": f"config{c}", "value": None,
+                              "unit": "FAILED",
+                              "error": f"{type(e).__name__}: {str(e)[:200]}"}))
+            continue
         result = _join_anchor(result, anchors.get(c))
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
