@@ -15,6 +15,10 @@ def main(path):
         if not line:
             continue
         d = json.loads(line)
+        if d.get("value") is None:  # crash-tolerant FAILED marker
+            rows.append((d["metric"], f"FAILED: {d.get('error', '?')[:60]}",
+                         "—", "—"))
+            continue
         speed = d.get("speedup_vs_cpu_anchor")
         util = ""
         if "hbm_frac" in d:
