@@ -589,12 +589,16 @@ def config11_bls():
 
     k = 3
 
+    binner = ("pallas" if jax.default_backend() in ("tpu", "axon")
+              else "scatter")
+
     @jax.jit
     def loop(y0):
         def body(_, carry):
             y0, acc = carry
             power, depth, _, _ = bls_scan(
-                tj, y0, wj, pj, widths=widths, nbins=256, batch_size=512
+                tj, y0, wj, pj, widths=widths, nbins=256, batch_size=512,
+                binner=binner,
             )
             return (y0 + power[0] * 1e-9, acc + jnp.sum(power[:8]))
 
@@ -606,7 +610,7 @@ def config11_bls():
         "value": n_periods / dt,
         "unit": "periods/sec",
         "detail": {"seconds_per_scan": dt, "n_durations": len(widths),
-                   "nbins": 256},
+                   "nbins": 256, "binner": binner},
     }
 
 

@@ -513,8 +513,10 @@ def string_length_batch(t, ms, periods, batch_size=128):
     )(ms)
 
 
-@partial(jax.jit, static_argnames=("widths", "nbins", "batch_size"))
-def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64):
+@partial(jax.jit, static_argnames=("widths", "nbins", "batch_size",
+                                   "binner"))
+def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64,
+             binner="scatter"):
     """Box Least Squares power for each trial period (Kovacs, Zucker &
     Mazeh 2002), weighted formulation.
 
@@ -531,6 +533,15 @@ def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64):
     widths: static tuple of box widths in BINS (duration fractions q
     map to max(1, round(q * nbins))).
 
+    ``binner``: "scatter" (XLA scatter-add, any backend) or "pallas"
+    (the one-hot MXU fold kernel, ops/pallas_bls.py — the scatter floor
+    is ~13 ns/index on v5e, which dominates this scan; the matmul form
+    removes it). The Pallas path bins by ``frac(t * (1/period))`` in
+    float32 (vs ``(t / period) % 1``), so samples within one ulp of a
+    bin edge may land one bin over — statistically irrelevant for a
+    scan, and ``BLS.refine``-free peak locations agree; the estimator
+    auto-selects like GLS does.
+
     Returns (power[P], depth[P], width_idx[P], bin_start[P]) where
     power = max over boxes of s^2 / (r (1 - r)) — the squared KZM02
     signal residue of the weighted, mean-subtracted fold. For correct
@@ -540,14 +551,11 @@ def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64):
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     w = jnp.asarray(w)
+    periods = jnp.asarray(periods)
     yc = y - jnp.sum(w * y)  # weighted mean out once; s is fold-invariant
     eps = jnp.asarray(1e-12, t.dtype)
 
-    def one(period):
-        phi = (t / period) % 1.0
-        b = jnp.clip((phi * nbins).astype(jnp.int32), 0, nbins - 1)
-        r_bin = jnp.zeros(nbins, t.dtype).at[b].add(w)
-        s_bin = jnp.zeros(nbins, t.dtype).at[b].add(w * yc)
+    def window_stats(r_bin, s_bin):
         # circular prefix sums: window sums of static width wd are
         # cs[i + wd] - cs[i] on the doubled (wrapped) bin array
         cr = jnp.concatenate([jnp.zeros(1, t.dtype), r_bin, r_bin]).cumsum()
@@ -561,7 +569,32 @@ def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64):
         depth = -ss[di, bi] / (rs[di, bi] * (1.0 - rs[di, bi]) + eps)
         return sr2[di, bi], depth, di, bi
 
-    return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
+    if binner == "pallas":
+        from ..ops.pallas_bls import fold_bins_onehot, _CHUNK
+
+        p = periods.shape[0]
+        pad = (-p) % max(_CHUNK, batch_size)
+        periods_p = jnp.concatenate([periods, periods[-1:].repeat(pad)]) \
+            if pad else periods
+
+        def chunk_stats(freq_chunk):
+            r, s = fold_bins_onehot(t, w, w * yc, freq_chunk, nbins=nbins)
+            return jax.vmap(window_stats)(r.astype(t.dtype),
+                                          s.astype(t.dtype))
+
+        groups = periods_p.reshape(-1, max(_CHUNK, batch_size))
+        out = jax.lax.map(lambda pp: chunk_stats(1.0 / pp), groups)
+        flat = tuple(o.reshape(-1)[:p] for o in out)
+        return flat
+
+    def one(period):
+        phi = (t / period) % 1.0
+        b = jnp.clip((phi * nbins).astype(jnp.int32), 0, nbins - 1)
+        r_bin = jnp.zeros(nbins, t.dtype).at[b].add(w)
+        s_bin = jnp.zeros(nbins, t.dtype).at[b].add(w * yc)
+        return window_stats(r_bin, s_bin)
+
+    return jax.lax.map(one, periods, batch_size=batch_size)
 
 
 @partial(jax.jit, static_argnames=("widths", "nbins", "batch_size"))
@@ -597,7 +630,8 @@ class BLS:
     """
 
     def __init__(self, durations=(0.01, 0.02, 0.05, 0.1), nbins=256,
-                 p_min=None, p_max=None, n_periods=1000, batch_size=64):
+                 p_min=None, p_max=None, n_periods=1000, batch_size=64,
+                 binner="auto"):
         self.durations = tuple(float(q) for q in durations)
         if not all(0.0 < q < 0.5 for q in self.durations):
             raise ValueError("durations must be phase fractions in (0, 0.5)")
@@ -606,6 +640,10 @@ class BLS:
         self.p_max = p_max
         self.n_periods = n_periods
         self.batch_size = batch_size
+        # "auto": the one-hot MXU fold kernel on TPU-family backends (the
+        # XLA scatter floor dominates this scan there), XLA scatter
+        # elsewhere — the same auto-selection GLS applies to its gridder
+        self.binner = binner
 
     def __call__(self, signal, err=None):
         if not isinstance(signal, TSeries):
@@ -625,11 +663,18 @@ class BLS:
         widths = tuple(
             max(1, int(round(q * self.nbins))) for q in self.durations
         )
+        binner = self.binner
+        if binner == "auto":
+            binner = (
+                "pallas" if jax.default_backend() in ("tpu", "axon")
+                else "scatter"
+            )
         log_event("bls", n=n, n_periods=self.n_periods,
-                  nbins=self.nbins, n_durations=len(widths))
+                  nbins=self.nbins, n_durations=len(widths), binner=binner)
         power, depth, di, bi = bls_scan(
             signal.time, signal.values, w, self.periods,
             widths=widths, nbins=self.nbins, batch_size=self.batch_size,
+            binner=binner,
         )
         power = np.asarray(power)
         depth = np.asarray(depth)

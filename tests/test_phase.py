@@ -341,3 +341,48 @@ def test_bls_transit_time_wraps_into_period_range():
     # mid-transit phase ~0 (mod 1): distance to the nearest integer phase
     phase_mid = (bls.best_transit_time / bls.best_period) % 1.0
     assert min(phase_mid, 1.0 - phase_mid) < 0.02
+
+
+def test_bls_pallas_binner_matches_scatter():
+    """The one-hot MXU fold (ops/pallas_bls, interpret mode on CPU)
+    reproduces the scatter path's BLS statistics — same powers up to the
+    documented one-ulp binning divergence (frac(t*f) vs (t/p)%1), same
+    recovered peak."""
+    import jax
+
+    from periodicity_tpu.ops import pallas_bls
+    from periodicity_tpu.phase import bls_scan
+
+    rng = np.random.default_rng(0)
+    n = 500
+    t = np.sort(rng.uniform(0, 100.0, n)).astype(np.float32)
+    phi = (t / 7.7) % 1.0
+    y = (np.where(phi < 0.05, -0.02, 0.0)
+         + 0.003 * rng.standard_normal(n)).astype(np.float32)
+    w = np.full(n, 1.0 / n, np.float32)
+    periods = np.linspace(2.0, 20.0, 320).astype(np.float32)
+    widths = (3, 6, 13)
+
+    p_sc, d_sc, di_sc, bi_sc = bls_scan(t, y, w, periods, widths=widths)
+    # route the pallas path through the interpreter (no TPU on CI)
+    orig = pallas_bls.fold_bins_onehot
+
+    def interp_fold(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pallas_bls.fold_bins_onehot = interp_fold
+    try:
+        jax.clear_caches()  # bls_scan is jitted; drop the cached trace
+        p_pl, d_pl, di_pl, bi_pl = bls_scan(t, y, w, periods,
+                                            widths=widths, binner="pallas")
+    finally:
+        pallas_bls.fold_bins_onehot = orig
+        jax.clear_caches()
+    p_sc, p_pl = np.asarray(p_sc), np.asarray(p_pl)
+    # identical peak period and power; per-period powers agree except
+    # where a boundary sample hops one bin
+    assert int(np.argmax(p_sc)) == int(np.argmax(p_pl))
+    np.testing.assert_allclose(p_pl.max(), p_sc.max(), rtol=1e-4)
+    agree = np.isclose(p_pl, p_sc, rtol=1e-3, atol=1e-9)
+    assert agree.mean() > 0.95
