@@ -96,13 +96,14 @@ def sharded_string_length(t, m, periods, mesh, axis="grid", batch_size=128):
 
 
 def sharded_bls(t, y, w, periods, mesh, axis="grid", widths=(3, 13, 26),
-                nbins=256, batch_size=64):
+                nbins=256, batch_size=64, binner="scatter"):
     """BLS over a period grid sharded across chips: each chip folds and
     scores its own contiguous slice of the trial periods with the
-    single-chip scatter-add/prefix-sum kernel (series replicated, no
-    collectives until a replicated result is requested). Returns the
-    (power, depth, width_idx, bin_start) tuple, each sharded over
-    `axis`."""
+    single-chip fold/prefix-sum kernel (series replicated, no
+    collectives until a replicated result is requested). ``binner``
+    passes through to :func:`bls_scan` — "pallas" runs the one-hot MXU
+    fold on each chip's shard. Returns the (power, depth, width_idx,
+    bin_start) tuple, each sharded over `axis`."""
     periods = jnp.asarray(periods)
     d = mesh.shape[axis]
     if periods.shape[0] % d:
@@ -119,7 +120,7 @@ def sharded_bls(t, y, w, periods, mesh, axis="grid", widths=(3, 13, 26),
     )
     def _run(t, y, w, periods_local):
         return bls_scan(t, y, w, periods_local, widths=widths,
-                        nbins=nbins, batch_size=batch_size)
+                        nbins=nbins, batch_size=batch_size, binner=binner)
 
     return _run(jnp.asarray(t), jnp.asarray(y), jnp.asarray(w), periods)
 
