@@ -189,24 +189,22 @@ def pdm_scan(t, x, periods, nb=5, nc=2, batch_size=128):
     return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
 
 
-@partial(jax.jit, static_argnames=("nb", "batch_size"))
-def aov_scan(t, x, periods, nb=9, batch_size=128):
+@partial(jax.jit, static_argnames=("nb", "batch_size", "binner"))
+def aov_scan(t, x, periods, nb=9, batch_size=128, binner="scatter"):
     """Analysis-of-Variance periodogram (Schwarzenberg-Czerny 1989).
 
     AoV statistic = between-bin variance / within-bin variance (one-way
     ANOVA F over nb phase bins). Large values indicate a good period.
+    ``binner="pallas"`` folds the [counts, sums, sum-squares] rows
+    through the one-hot MXU kernel (ops/pallas_bls) instead of three
+    scatter-adds per period — the estimator auto-selects on TPU.
     """
     t = jnp.asarray(t)
     x = jnp.asarray(x)
     n = x.shape[0]
     xbar = jnp.mean(x)
 
-    def one(period):
-        phi = (t / period) % 1.0
-        b = jnp.clip((phi * nb).astype(jnp.int32), 0, nb - 1)
-        nj = jnp.zeros(nb, x.dtype).at[b].add(1.0)
-        sj = jnp.zeros(nb, x.dtype).at[b].add(x)
-        sq = jnp.zeros(nb, x.dtype).at[b].add(x * x)
+    def stats(nj, sj, sq):
         good = nj > 0
         njf = jnp.where(good, nj, 1.0)
         mj = sj / njf
@@ -215,17 +213,48 @@ def aov_scan(t, x, periods, nb=9, batch_size=128):
         r = jnp.sum(good)
         return (s1 / (r - 1)) / (s2 / (n - r))
 
+    if binner == "pallas":
+        from ..ops.pallas_bls import fold_onehot
+
+        values = jnp.stack([jnp.ones_like(x), x, x * x])
+
+        def chunk_stats(pp):
+            out = fold_onehot(t, values, 1.0 / pp, n_phi=nb)
+            out = out.astype(x.dtype)
+            return jax.vmap(stats)(out[:, 0], out[:, 1], out[:, 2])
+
+        periods = jnp.asarray(periods)
+        p = periods.shape[0]
+        chunk = max(32, batch_size)
+        pad = (-p) % chunk
+        pp = jnp.concatenate([periods, periods[-1:].repeat(pad)])             if pad else periods
+        out = jax.lax.map(chunk_stats, pp.reshape(-1, chunk))
+        return out.reshape(-1)[:p]
+
+    def one(period):
+        phi = (t / period) % 1.0
+        b = jnp.clip((phi * nb).astype(jnp.int32), 0, nb - 1)
+        nj = jnp.zeros(nb, x.dtype).at[b].add(1.0)
+        sj = jnp.zeros(nb, x.dtype).at[b].add(x)
+        sq = jnp.zeros(nb, x.dtype).at[b].add(x * x)
+        return stats(nj, sj, sq)
+
     return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
 
 
-@partial(jax.jit, static_argnames=("n_phi", "n_mag", "batch_size"))
-def conditional_entropy_scan(t, x, periods, n_phi=10, n_mag=5, batch_size=128):
+@partial(jax.jit, static_argnames=("n_phi", "n_mag", "batch_size",
+                                   "binner"))
+def conditional_entropy_scan(t, x, periods, n_phi=10, n_mag=5,
+                             batch_size=128, binner="scatter"):
     """Conditional entropy H(mag | phase) per trial period (Graham et al.
     2013) — a reference TODO (phase.py:15) implemented natively.
 
     The joint (phase, magnitude) histogram is a branch-free 2-D bincount:
-    flat bin ids + one scatter-add per period, vmapped over the grid.
-    Minima of H mark candidate periods.
+    flat bin ids + one scatter-add per period, vmapped over the grid —
+    or, with ``binner="pallas"``, one one-hot MXU matmul per period with
+    the per-sample magnitude bin riding the kernel's offset lane
+    (flat bin = phase_bin * n_mag + mag_bin). Minima of H mark candidate
+    periods.
     """
     t = jnp.asarray(t)
     x = jnp.asarray(x)
@@ -234,15 +263,36 @@ def conditional_entropy_scan(t, x, periods, n_phi=10, n_mag=5, batch_size=128):
     xrange = jnp.max(x) - xmin + 1e-12
     xb = jnp.clip(((x - xmin) / xrange * n_mag).astype(jnp.int32), 0, n_mag - 1)
 
+    def entropy(counts):
+        p = counts.reshape(n_phi, n_mag) / n
+        p_phi = jnp.sum(p, axis=1, keepdims=True)
+        ratio = jnp.where(p > 0, p_phi / jnp.where(p > 0, p, 1.0), 1.0)
+        return jnp.sum(jnp.where(p > 0, p * jnp.log(ratio), 0.0))
+
+    if binner == "pallas":
+        from ..ops.pallas_bls import fold_onehot
+
+        ones = jnp.ones((1, n), x.dtype)
+
+        def chunk_stats(pp):
+            out = fold_onehot(t, ones, 1.0 / pp, n_phi=n_phi,
+                              stride=n_mag, offsets=xb)
+            return jax.vmap(entropy)(out[:, 0].astype(x.dtype))
+
+        periods = jnp.asarray(periods)
+        p = periods.shape[0]
+        chunk = max(32, batch_size)
+        pad = (-p) % chunk
+        pp = jnp.concatenate([periods, periods[-1:].repeat(pad)])             if pad else periods
+        out = jax.lax.map(chunk_stats, pp.reshape(-1, chunk))
+        return out.reshape(-1)[:p]
+
     def one(period):
         phi = (t / period) % 1.0
         pb = jnp.clip((phi * n_phi).astype(jnp.int32), 0, n_phi - 1)
         flat = pb * n_mag + xb
         counts = jnp.zeros(n_phi * n_mag, x.dtype).at[flat].add(1.0)
-        p = counts.reshape(n_phi, n_mag) / n
-        p_phi = jnp.sum(p, axis=1, keepdims=True)
-        ratio = jnp.where(p > 0, p_phi / jnp.where(p > 0, p, 1.0), 1.0)
-        return jnp.sum(jnp.where(p > 0, p * jnp.log(ratio), 0.0))
+        return entropy(counts)
 
     return jax.lax.map(one, jnp.asarray(periods), batch_size=batch_size)
 
@@ -256,13 +306,14 @@ class ConditionalEntropy:
     """
 
     def __init__(self, n_phi=10, n_mag=5, p_min=None, p_max=None,
-                 n_periods=1000, batch_size=128):
+                 n_periods=1000, batch_size=128, binner="auto"):
         self.n_phi = n_phi
         self.n_mag = n_mag
         self.p_min = p_min
         self.p_max = p_max
         self.n_periods = n_periods
         self.batch_size = batch_size
+        self.binner = binner
 
     def __call__(self, signal):
         if not isinstance(signal, TSeries):
@@ -271,9 +322,16 @@ class ConditionalEntropy:
         p_min = 2 * float(signal.median_dt) if self.p_min is None else self.p_min
         p_max = float(signal.baseline) if self.p_max is None else self.p_max
         self.periods = np.linspace(p_min, p_max, self.n_periods)
+        binner = self.binner
+        if binner == "auto":
+            binner = (
+                "pallas" if jax.default_backend() in ("tpu", "axon")
+                else "scatter"
+            )
         h = conditional_entropy_scan(
             signal.time, signal.values, self.periods,
             n_phi=self.n_phi, n_mag=self.n_mag, batch_size=self.batch_size,
+            binner=binner,
         )
         self.periodogram = FSeries(1.0 / self.periods, h)
         return self.periodogram
@@ -463,12 +521,14 @@ class AoV:
     Returns an FSeries of the AoV F-statistic (peaks = candidate periods).
     """
 
-    def __init__(self, nb=9, p_min=None, p_max=None, n_periods=1000, batch_size=128):
+    def __init__(self, nb=9, p_min=None, p_max=None, n_periods=1000,
+                 batch_size=128, binner="auto"):
         self.nb = nb
         self.p_min = p_min
         self.p_max = p_max
         self.n_periods = n_periods
         self.batch_size = batch_size
+        self.binner = binner
 
     def __call__(self, signal):
         if not isinstance(signal, TSeries):
@@ -477,9 +537,15 @@ class AoV:
         p_min = 2 * float(signal.median_dt) if self.p_min is None else self.p_min
         p_max = float(signal.baseline) if self.p_max is None else self.p_max
         self.periods = np.linspace(p_min, p_max, self.n_periods)
+        binner = self.binner
+        if binner == "auto":
+            binner = (
+                "pallas" if jax.default_backend() in ("tpu", "axon")
+                else "scatter"
+            )
         f = aov_scan(
             signal.time, signal.values, self.periods,
-            nb=self.nb, batch_size=self.batch_size,
+            nb=self.nb, batch_size=self.batch_size, binner=binner,
         )
         self.periodogram = FSeries(1.0 / self.periods, f)
         return self.periodogram

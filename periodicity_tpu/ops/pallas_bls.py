@@ -1,26 +1,37 @@
 """Pallas TPU phase-fold binning: one-hot MXU matmul accumulation.
 
-The BLS scorer's hot op is the per-period weighted phase-fold histogram
-(``bls_scan``: two scatter-adds of N samples into nbins bins per trial
-period). The XLA scatter floor on v5e is ~13 ns/index
-(docs/performance.md), so N=2000 x 1e5 periods pays ~5 s of pure
-scatter. This kernel replaces the scatter with the ops/pallas_grid2.py
-playbook: per period, the fold is ONE [2, N] x [N, nbins] matmul where
-the one-hot operand is built by a vectorized compare —
+The phase-scorer family's hot op is the per-period fold histogram:
+``bls_scan`` scatter-adds weights and weighted values, ``aov_scan``
+counts/sums/sum-squares, ``conditional_entropy_scan`` a 2-D
+(phase x magnitude) count, ``gregory_loredo_scan`` event counts — all
+paying the XLA scatter floor of ~13 ns/index (docs/performance.md),
+which at N~2000 x 1e5 trial periods is seconds of pure scatter. This
+kernel replaces every one of them with the ops/pallas_grid2.py playbook:
+per period, the fold is ONE [nv, N] x [N, nbins] matmul where the
+one-hot operand is built by a vectorized compare —
 
     acc[v, k] = sum_i V[v, i] * onehot(bin_p(i) == k)
 
-with V = [w, w*yc] shared by every period (only the bins change). The
-one-hot side is bf16-exact in the MXU; the value side runs at
-``Precision.HIGHEST`` (the 3-pass bf16 f32 emulation) — the LHS is only
-[2, N], so exactness costs nothing here, unlike the gridding kernel's
-[128, 1024] operands where a head/tail split was the budget-fitting
-form.
+with the value rows V shared by every period (only the bins change).
+Bins generalize to ``phase_bin * stride + offset[i]`` so a 2-D histogram
+(conditional entropy: stride = n_mag, offset = per-sample magnitude bin)
+is the same kernel. The one-hot side is bf16-exact in the MXU; the value
+side runs at ``Precision.HIGHEST`` (3-pass bf16 f32 emulation — the LHS
+is only a few rows, so exactness is free; measured on v5e the plain
+bf16 path loses the f32 tail entirely).
 
-Each program handles a CHUNK of periods (program overhead on this chip
-is ~3 us — one period per program would dominate the runtime), looping
-inside with dynamic row stores. Samples are padded with zero weights, so
-padding never contributes regardless of its bin.
+Each program handles a CHUNK of periods (program overhead is ~3 us on
+this chip — one period per program would dominate), looping inside with
+dynamic row stores; trial frequencies ride the scalar-prefetch slot
+(Mosaic cannot load a VMEM vector element at a dynamic index). Samples
+are padded with all-zero value rows, so padding never contributes
+regardless of its bin. Lane padding rounds the bin axis up to 128.
+
+Binning formulation: ``floor(frac(t * f) * n_phi)`` with f = 1/period in
+float32 — one ulp from the scatter paths' ``(t / period) % 1``, so a
+sample exactly on a bin edge may land one bin over; statistically
+irrelevant for a trial-grid scan (the scorers' tests pin identical peak
+recovery).
 """
 
 from functools import partial
@@ -30,72 +41,101 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fold_bins_onehot"]
+__all__ = ["fold_onehot", "fold_bins_onehot"]
 
 _ALIGN = 512  # sample padding unit (second-minor vector alignment)
 _CHUNK = 32  # periods per program (overhead vs VMEM-residency tradeoff)
+_LANE = 128  # bin-axis lane rounding
 
 
-def _kernel(freqs_ref, t_ref, v_ref, out_ref, *, nbins, npad, chunk):
-    # freqs ride the scalar-prefetch slot (SMEM): Mosaic cannot load a
-    # single element of a VMEM vector at a dynamic index
+def _kernel(freqs_ref, t_ref, v_ref, off_ref, *out_refs, nbinsp, stride,
+            n_phi, chunk, nv):
     b = pl.program_id(0)
     t = t_ref[...]  # [npad]
-    v = v_ref[...]  # [2, npad] f32 values
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (npad, nbins), 1)
+    v = v_ref[...]  # [nv, npad] f32 values (zero at padding)
+    off = off_ref[...]  # [npad] int32 per-sample bin offset
+    npad = t.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (npad, nbinsp), 1)
 
     def body(c, _):
         f = freqs_ref[b * chunk + c]
         phi = t * f
         phi = phi - jnp.floor(phi)
-        bins = jnp.clip((phi * nbins).astype(jnp.int32), 0, nbins - 1)
-        sel = (iota_k == bins[:, None]).astype(jnp.float32)  # [npad, nbins]
+        pb = jnp.clip((phi * n_phi).astype(jnp.int32), 0, n_phi - 1)
+        bins = pb * stride + off
+        sel = (iota_k == bins[:, None]).astype(jnp.float32)  # [npad, nbinsp]
         acc = jnp.dot(v, sel, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        # out row c: [r_bins | s_bins] packed in 2*nbins lanes
-        out_ref[c, : nbins] = acc[0]
-        out_ref[c, nbins:] = acc[1]
+                      precision=jax.lax.Precision.HIGHEST)  # [nv, nbinsp]
+        # one full-row dynamic store per value-row OUTPUT (Mosaic rejects
+        # lane-offset dynamic stores: "dynamic store with unaligned
+        # indices" at nv*nbinsp-lane packing)
+        for r in range(nv):  # static unroll over value rows
+            out_refs[r][c, :] = acc[r]
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0)
 
 
-@partial(jax.jit, static_argnames=("nbins", "interpret"))
-def fold_bins_onehot(t, w, wyc, freqs, nbins=256, interpret=False):
+@partial(jax.jit, static_argnames=("n_phi", "stride", "interpret"))
+def fold_onehot(t, values, freqs, n_phi, stride=1, offsets=None,
+                interpret=False):
     """Weighted phase-fold histograms for every trial frequency.
 
-    t [N] times, w [N] weights, wyc [N] weighted centered values,
-    freqs [P] trial frequencies (1/period) -> (r_bin, s_bin) each
-    [P, nbins] f32: r = per-bin weight sums, s = per-bin weighted-value
-    sums, bins k = floor(frac(t*f) * nbins).
+    t [N] times; values [nv, N] value rows (weights, weighted values,
+    counts-of-ones, squares, ...); freqs [P] trial frequencies
+    (1/period); n_phi phase bins; optional per-sample integer
+    ``offsets`` [N] in [0, stride) for 2-D histograms (flat bin =
+    phase_bin * stride + offset).
 
-    P must be a multiple of the internal chunk (the BLS scorer pads).
+    Returns [P, nv, n_phi * stride] f32. P is padded internally to the
+    program chunk; padded rows are dropped before returning.
     """
     t = jnp.asarray(t, jnp.float32)
-    w = jnp.asarray(w, jnp.float32)
-    wyc = jnp.asarray(wyc, jnp.float32)
+    values = jnp.atleast_2d(jnp.asarray(values, jnp.float32))
     freqs = jnp.asarray(freqs, jnp.float32)
-    n = t.shape[0]
+    nv, n = values.shape
+    nbins = n_phi * stride
+    nbinsp = -(-nbins // _LANE) * _LANE
     p = freqs.shape[0]
-    assert p % _CHUNK == 0, (p, _CHUNK)
+    ppad = (-p) % _CHUNK
+    if ppad:
+        freqs = jnp.concatenate([freqs, freqs[-1:].repeat(ppad)])
     pad = (-n) % _ALIGN
-    npad = n + pad
     tp = jnp.concatenate([t, jnp.zeros(pad, jnp.float32)])
-    v = jnp.stack([
-        jnp.concatenate([w, jnp.zeros(pad, jnp.float32)]),
-        jnp.concatenate([wyc, jnp.zeros(pad, jnp.float32)]),
-    ])  # [2, npad]
+    vp = jnp.concatenate(
+        [values, jnp.zeros((nv, pad), jnp.float32)], axis=1
+    )
+    if offsets is None:
+        offp = jnp.zeros(n + pad, jnp.int32)
+    else:
+        offp = jnp.concatenate(
+            [jnp.asarray(offsets, jnp.int32), jnp.zeros(pad, jnp.int32)]
+        )
 
-    out = pl.pallas_call(
-        partial(_kernel, nbins=nbins, npad=npad, chunk=_CHUNK),
+    outs = pl.pallas_call(
+        partial(_kernel, nbinsp=nbinsp, stride=stride, n_phi=n_phi,
+                chunk=_CHUNK, nv=nv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(p // _CHUNK,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec((_CHUNK, 2 * nbins), lambda b, *_: (b, 0),
-                                   memory_space=pltpu.VMEM),
+            grid=((p + ppad) // _CHUNK,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=[
+                pl.BlockSpec((_CHUNK, nbinsp), lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM)
+            ] * nv,
         ),
-        out_shape=jax.ShapeDtypeStruct((p, 2 * nbins), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((p + ppad, nbinsp), jnp.float32)
+        ] * nv,
         interpret=interpret,
-    )(freqs, tp, v)
-    return out[:, :nbins], out[:, nbins:]
+    )(freqs, tp, vp, offp)
+    return jnp.stack(outs, axis=1)[:p, :, :nbins]
+
+
+def fold_bins_onehot(t, w, wyc, freqs, nbins=256, interpret=False):
+    """BLS-shaped wrapper: (r_bin, s_bin) each [P, nbins] from value rows
+    [w, w*yc] (see :func:`fold_onehot`)."""
+    out = fold_onehot(t, jnp.stack([jnp.asarray(w, jnp.float32),
+                                    jnp.asarray(wyc, jnp.float32)]),
+                      freqs, n_phi=nbins, interpret=interpret)
+    return out[:, 0, :], out[:, 1, :]

@@ -386,3 +386,42 @@ def test_bls_pallas_binner_matches_scatter():
     np.testing.assert_allclose(p_pl.max(), p_sc.max(), rtol=1e-4)
     agree = np.isclose(p_pl, p_sc, rtol=1e-3, atol=1e-9)
     assert agree.mean() > 0.95
+
+
+def test_aov_ce_pallas_binner_matches_scatter():
+    """AoV and conditional entropy through the generalized one-hot fold
+    (interpret mode) match the scatter paths up to the documented one-ulp
+    binning divergence — identical best periods, near-identical curves."""
+    import jax
+
+    from periodicity_tpu.ops import pallas_bls
+    from periodicity_tpu.phase import aov_scan, conditional_entropy_scan
+
+    rng = np.random.default_rng(1)
+    n = 400
+    t = np.sort(rng.uniform(0, 100.0, n))
+    y = np.sin(2 * np.pi * t / 7.7) + 0.2 * rng.standard_normal(n)
+    periods = np.linspace(2.0, 20.0, 256)
+
+    orig = pallas_bls.fold_onehot
+
+    def interp_fold(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    a_sc = np.asarray(aov_scan(t, y, periods, nb=9))
+    h_sc = np.asarray(conditional_entropy_scan(t, y, periods,
+                                               n_phi=10, n_mag=5))
+    pallas_bls.fold_onehot = interp_fold
+    try:
+        jax.clear_caches()
+        a_pl = np.asarray(aov_scan(t, y, periods, nb=9, binner="pallas"))
+        h_pl = np.asarray(conditional_entropy_scan(
+            t, y, periods, n_phi=10, n_mag=5, binner="pallas"))
+    finally:
+        pallas_bls.fold_onehot = orig
+        jax.clear_caches()
+    assert int(np.argmax(a_sc)) == int(np.argmax(a_pl))
+    assert int(np.argmin(h_sc)) == int(np.argmin(h_pl))
+    assert np.isclose(a_pl, a_sc, rtol=1e-3).mean() > 0.95
+    assert np.isclose(h_pl, h_sc, rtol=1e-3, atol=1e-6).mean() > 0.95
