@@ -337,8 +337,9 @@ class ConditionalEntropy:
         return self.periodogram
 
 
-@partial(jax.jit, static_argnames=("n_bins", "batch_size"))
-def gregory_loredo_scan(t, periods, n_bins=12, batch_size=128):
+@partial(jax.jit, static_argnames=("n_bins", "batch_size", "binner"))
+def gregory_loredo_scan(t, periods, n_bins=12, batch_size=128,
+                        binner="scatter"):
     """Gregory-Loredo log odds of a stepwise periodic model per trial period
     (Gregory & Loredo 1992, for event/arrival-time data) — a reference TODO
     (phase.py:13) implemented natively.
@@ -357,6 +358,25 @@ def gregory_loredo_scan(t, periods, n_bins=12, batch_size=128):
     const = n * jnp.log(float(n_bins)) + gammaln(float(n_bins)) - gammaln(
         float(n + n_bins)
     )
+
+    if binner == "pallas":
+        from ..ops.pallas_bls import fold_onehot
+
+        ones = jnp.ones((1, n), t.dtype)
+
+        def chunk_stats(pp):
+            counts = fold_onehot(t, ones, 1.0 / pp, n_phi=n_bins)[:, 0]
+            return const + jnp.sum(gammaln(counts.astype(t.dtype) + 1.0),
+                                   axis=-1)
+
+        periods = jnp.asarray(periods)
+        p = periods.shape[0]
+        chunk = max(32, batch_size)
+        pad = (-p) % chunk
+        pp = jnp.concatenate([periods, periods[-1:].repeat(pad)]) \
+            if pad else periods
+        out = jax.lax.map(chunk_stats, pp.reshape(-1, chunk))
+        return out.reshape(-1)[:p]
 
     def one(period):
         phi = (t / period) % 1.0
@@ -377,7 +397,8 @@ class GregoryLoredo:
     """
 
     def __init__(self, n_bins=12, p_min=None, p_max=None, n_periods=1000,
-                 batch_size=128):
+                 batch_size=128, binner="auto"):
+        self.binner = binner
         self.n_bins = n_bins
         self.p_min = p_min
         self.p_max = p_max
@@ -396,8 +417,15 @@ class GregoryLoredo:
         )
         p_max = float(signal.baseline) if self.p_max is None else self.p_max
         self.periods = np.linspace(p_min, p_max, self.n_periods)
+        binner = self.binner
+        if binner == "auto":
+            binner = (
+                "pallas" if jax.default_backend() in ("tpu", "axon")
+                else "scatter"
+            )
         lo = gregory_loredo_scan(
-            events, self.periods, n_bins=self.n_bins, batch_size=self.batch_size
+            events, self.periods, n_bins=self.n_bins,
+            batch_size=self.batch_size, binner=binner,
         )
         self.periodogram = FSeries(1.0 / self.periods, lo)
         return self.periodogram
