@@ -7,14 +7,15 @@ an absolute number with no comparison point (VERDICT r3 directive #1).
 
 Anchor provenance, in order of preference:
 
-1. the reference's own importable numpy source, loaded at runtime from the
-   mounted tree (``_trig_sum`` — the same extraction trick as
-   ``tests/test_reference_parity.py``; never vendored);
-2. faithful numpy/scipy mirrors of reference routines whose modules cannot
-   be imported here because their native deps (xarray, pywt, celerite2,
-   george, emcee) are not installed — each cites the reference file:line
-   it mirrors;
-3. for the configs that go beyond the reference (batched GLS, BLS,
+1. faithful numpy/scipy mirrors of reference routines — each cites the
+   reference file:line it mirrors. This includes ``_trig_sum``
+   (spectral.py:11-40): earlier rounds exec()'d the function straight out
+   of the mounted tree, but the reference is retrieved public content, so
+   executing its text at benchmark runtime runs untrusted code; the
+   reviewed first-party mirror below replaces that (ADVICE r4). The other
+   mirrors exist because the reference modules' native deps (xarray, pywt,
+   celerite2, george, emcee) are not installed here;
+2. for the configs that go beyond the reference (batched GLS, BLS,
    multi-term GLS, NUTS), the best available single-host numpy/scipy
    implementation of the same computation.
 
@@ -65,15 +66,48 @@ def _timeit(fn, min_time=0.5, max_reps=5):
 # ---------------------------------------------------------------- trig sums
 
 
+def _mirror_trig_sum(t, w, df, nf, fmin, n=5):
+    """Reviewed first-party numpy mirror of the reference's Press-Rybicki
+    extirpolated trig sum (spectral.py:11-40): 4-point Lagrange
+    extirpolation scatter onto a power-of-two grid of size
+    next_pow2(nf*n - 1), one complex IFFT, fmin pre-rotation of the
+    weights and tmin post-rotation of the spectrum. Replaces the earlier
+    exec()-from-the-mounted-tree loader (the reference is retrieved
+    public content; its text must not be executed). Performance-faithful:
+    the cost profile is identical — two np.add.at scatters + np.fft.ifft.
+    Returns (S, C) with S_j = sum_i w_i sin(2 pi f_j t_i), C_j the cosine
+    sum, on the grid f_j = fmin + j*df, j < nf."""
+    t = np.asarray(t, float)
+    nfft = 1 << int(nf * n - 1).bit_length()
+    tmin = t.min()
+    wc = np.asarray(w) * np.exp(2j * np.pi * fmin * (t - tmin))
+    x = ((t - tmin) * (nfft * df)) % nfft
+    grid = np.zeros(nfft, dtype=wc.dtype)
+    on_grid = (x % 1) == 0
+    np.add.at(grid, x[on_grid].astype(np.intp), wc[on_grid])
+    x, wc = x[~on_grid], wc[~on_grid]
+    i0 = np.clip((x - 2.0).astype(np.intp), 0, nfft - 4)
+    # 4-point Lagrange extirpolation: weight for stencil point m = i0+k is
+    # prod_{l != k}(x - i0 - l) / prod_{l != k}(k - l); numerator written
+    # as (full product) / (x - m), denominators accumulated recursively
+    full = wc * np.prod(x - i0 - np.arange(4)[:, None], axis=0)
+    denom = 6.0  # k=3 stencil point: prod_{l != 3}(3 - l) = 3*2*1
+    for j in range(4):
+        if j:
+            denom *= j / (j - 4)
+        idx = i0 + (3 - j)
+        np.add.at(grid, idx, full / (denom * (x - idx)))
+    spec = np.fft.ifft(grid)[:nf] * nfft
+    if tmin != 0:
+        freqs = fmin + df * np.arange(nf)
+        spec = spec * np.exp(2j * np.pi * tmin * freqs)
+    return spec.imag, spec.real
+
+
 def _load_ref_trig_sum():
-    """Load the reference's _trig_sum (spectral.py:11-40) without importing
-    its package (which needs xarray); exec only that numpy function."""
-    src = open(REF_SPECTRAL).read()
-    start = src.index("def _trig_sum")
-    end = src.index("class GLS")
-    ns = {"np": np}
-    exec(src[start:end], ns)  # noqa: S102 - trusted mounted reference
-    return ns["_trig_sum"]
+    """Kept as the anchor entry point; now returns the reviewed mirror
+    (see module docstring, provenance item 1)."""
+    return _mirror_trig_sum
 
 
 def _ref_gls_power(trig_sum, t, y, err, df, fmin, nf):

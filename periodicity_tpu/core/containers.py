@@ -43,13 +43,17 @@ def _uniform_spacing(coord):
     """Median spacing when the grid is uniform up to dtype rounding, else
     None. Constructed-uniform grids (rfftfreq, arange) accumulate up to a
     few ulps of the COORDINATE magnitude in float32, so the tolerance is
-    dtype-aware: genuinely irregular grids still fail it."""
+    dtype-aware — but capped at a fraction of the spacing itself:
+    otherwise a float32 time axis with a large epoch (|t| ~ 2.45e6 gives
+    8*eps*|t| ~ 2.3 time units) would classify genuinely irregular
+    sampling as uniform and silently return median_dt."""
     c = np.asarray(coord)
     d = np.diff(c)
     md = np.median(d)
     atol = 0.0
     if np.issubdtype(c.dtype, np.floating):
         atol = 8 * np.finfo(c.dtype).eps * float(np.max(np.abs(c)))
+        atol = min(atol, 0.25 * float(np.abs(md)))
     if np.allclose(d, md, rtol=1e-5, atol=atol):
         return md
     return None

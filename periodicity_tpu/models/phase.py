@@ -197,9 +197,11 @@ def aov_scan(t, x, periods, nb=9, batch_size=128, binner="scatter"):
     ANOVA F over nb phase bins). Large values indicate a good period.
     ``binner="pallas"`` folds the [counts, sums, sum-squares] rows
     through the one-hot MXU kernel (ops/pallas_bls) instead of three
-    scatter-adds per period — the estimator auto-selects on TPU.
+    scatter-adds per period — the estimator auto-selects on TPU. Both
+    binners fold on ``t - t[0]`` (epoch-safe f32 phases; see bls_scan).
     """
     t = jnp.asarray(t)
+    t = t - t[0]
     x = jnp.asarray(x)
     n = x.shape[0]
     xbar = jnp.mean(x)
@@ -254,9 +256,11 @@ def conditional_entropy_scan(t, x, periods, n_phi=10, n_mag=5,
     or, with ``binner="pallas"``, one one-hot MXU matmul per period with
     the per-sample magnitude bin riding the kernel's offset lane
     (flat bin = phase_bin * n_mag + mag_bin). Minima of H mark candidate
-    periods.
+    periods. Both binners fold on ``t - t[0]`` (epoch-safe f32 phases;
+    see bls_scan).
     """
     t = jnp.asarray(t)
+    t = t - t[0]
     x = jnp.asarray(x)
     n = x.shape[0]
     xmin = jnp.min(x)
@@ -350,10 +354,13 @@ def gregory_loredo_scan(t, periods, n_bins=12, batch_size=128,
         ln O = N ln m + lgamma(m) - lgamma(N + m) + sum_j lgamma(n_j + 1)
 
     up to a period-independent constant. Maxima mark candidate periods.
+    Both binners fold on ``t - t[0]`` (epoch-safe f32 phases; see
+    bls_scan).
     """
     from jax.scipy.special import gammaln
 
     t = jnp.asarray(t)
+    t = t - t[0]
     n = t.shape[0]
     const = n * jnp.log(float(n_bins)) + gammaln(float(n_bins)) - gammaln(
         float(n + n_bins)
@@ -630,11 +637,15 @@ def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64,
     ``binner``: "scatter" (XLA scatter-add, any backend) or "pallas"
     (the one-hot MXU fold kernel, ops/pallas_bls.py — the scatter floor
     is ~13 ns/index on v5e, which dominates this scan; the matmul form
-    removes it). The Pallas path bins by ``frac(t * (1/period))`` in
-    float32 (vs ``(t / period) % 1``), so samples within one ulp of a
-    bin edge may land one bin over — statistically irrelevant for a
-    scan, and ``BLS.refine``-free peak locations agree; the estimator
-    auto-selects like GLS does.
+    removes it). Both binners fold on ``t - t[0]`` — the epoch shift
+    keeps the Pallas path's float32 phase exact to ~1e-4 bin even for
+    absolute-epoch time stamps (BJD ~2.45e6), and means the returned
+    ``bin_start`` references phase origin t[0] for either binner. The
+    Pallas path bins by ``frac((t - t0) * (1/period))`` in float32 (vs
+    the scatter path's input-dtype ``((t - t0) / period) % 1``), so
+    samples within ~(elapsed/period)*2^-24 cycles of a bin edge may
+    land one bin over — statistically irrelevant for a scan; the
+    estimator auto-selects like GLS does.
 
     Returns (power[P], depth[P], width_idx[P], bin_start[P]) where
     power = max over boxes of s^2 / (r (1 - r)) — the squared KZM02
@@ -643,6 +654,7 @@ def bls_scan(t, y, w, periods, widths, nbins=256, batch_size=64,
     significance; both objectives share the same argmax.
     """
     t = jnp.asarray(t)
+    t = t - t[0]  # shared phase origin with the Pallas fold (see above)
     y = jnp.asarray(y)
     w = jnp.asarray(w)
     periods = jnp.asarray(periods)
@@ -777,12 +789,14 @@ class BLS:
         wd = np.asarray(widths)[di]
         # realized box width: round(q * nbins) bins, the width the scorer
         # actually evaluated (may differ from the requested fraction q at
-        # coarse nbins); epoch is the mid-transit time in [0, P) on the
-        # same phase origin as the fold (phi = (t/P) mod 1) — boxes that
-        # wrap phase 1 put the midpoint past 1, hence the mod
+        # coarse nbins); the fold references phase origin t[0] (both
+        # binners), so mid-transit on the absolute time axis is
+        # t[0] + phase_mid*P, reported modulo P to land in [0, P) —
+        # boxes that wrap phase 1 put the midpoint past 1, hence the mods
         q_best = wd / self.nbins
         phase_mid = ((bi + wd / 2.0) / self.nbins) % 1.0
-        t0 = phase_mid * self.periods
+        t_first = float(np.asarray(signal.time)[0])
+        t0 = (t_first + phase_mid * self.periods) % self.periods
         # the FSeries constructor sorts by ascending frequency, REVERSING
         # the ascending-period order of every per-period array — apply the
         # same permutation to the attrs so attrs[i] describes values[i]

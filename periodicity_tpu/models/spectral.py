@@ -478,24 +478,46 @@ def _solve_spd_small(G, b, unroll_max=16):
     return jnp.stack(x, axis=-1)
 
 
-def _solve_spd_small_logdet(G, b):
+def _solve_spd_small_logdet(G, b, ridge=1e-12):
     """Like :func:`_solve_spd_small` but also returns log|G| (free from
     the Cholesky diagonal: 2 sum log L_ii) — the BGLST marginal
-    likelihood needs both."""
+    likelihood needs both.
+
+    Jacobi-equilibrated: solves ``(D G D) z = D b`` with
+    ``D = diag(G)^-1/2`` plus a RELATIVE ridge on the scaled unit
+    diagonal. BGLST's [cos, sin, t, 1] design mixes column scales by many
+    orders of magnitude at low trial frequencies (sin ~ 2 pi f t), and a
+    nearly collinear design cancels the raw Cholesky pivot to a negative
+    rounding residue -> sqrt -> NaN log-ML, where the earlier
+    ``jnp.linalg.solve + slogdet`` degraded gracefully (ADVICE r4). After
+    equilibration every pivot is ``1 - rho^2`` plus the ridge; a DOUBLY
+    collinear design (BGLST at f*baseline -> 0 has cos ~ 1 ~ const AND
+    sin ~ t simultaneously) can still cancel a late pivot below the
+    ridge, so each pivot is additionally floored at ``D * eps`` of the
+    scaled unit diagonal before the sqrt — the same graceful degradation
+    the LU gave (a huge-but-finite log-ML at frequencies where the model
+    is genuinely degenerate). ``log|G|`` recovers exactly via
+    ``-2 sum log D_ii``.
+    """
     D = G.shape[-1]
+    floor = D * jnp.finfo(G.dtype).eps
+    diag = jnp.stack([G[..., i, i] for i in range(D)], axis=-1)
+    d = jnp.sqrt(jnp.maximum(diag, jnp.finfo(G.dtype).tiny))
+    Gs = G / (d[..., :, None] * d[..., None, :])
+    bs = b / d
     L = [[None] * D for _ in range(D)]
     for i in range(D):
         for j in range(i + 1):
-            s = G[..., i, j]
+            s = Gs[..., i, j] + (ridge if i == j else 0.0)
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(s)
+                L[i][j] = jnp.sqrt(jnp.maximum(s, floor))
             else:
                 L[i][j] = s / L[j][j]
     y = [None] * D
     for i in range(D):
-        s = b[..., i]
+        s = bs[..., i]
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
@@ -505,8 +527,10 @@ def _solve_spd_small_logdet(G, b):
         for k in range(i + 1, D):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    logdet = sum(2.0 * jnp.log(L[i][i]) for i in range(D))
-    return jnp.stack(x, axis=-1), logdet
+    logdet = sum(2.0 * jnp.log(L[i][i]) for i in range(D)) + sum(
+        2.0 * jnp.log(d[..., i]) for i in range(D)
+    )
+    return jnp.stack(x, axis=-1) / d, logdet
 
 
 def _harmonic_gram_entry(Cq, Sq, a, b):
@@ -1269,6 +1293,8 @@ def bglst_log_ml(t, y, w, df, fmin, nf):
         Xw = X * w[:, None]
         G = X.T @ Xw  # [4, 4]
         bvec = Xw.T @ y
+        # the equilibrated solve carries its own relative ridge (a nearly
+        # collinear design would otherwise NaN the Cholesky, ADVICE r4)
         theta, logdet = _solve_spd_small_logdet(G, bvec)
         chi2 = jnp.dot(w, y**2) - bvec @ theta
         return -0.5 * chi2 - 0.5 * logdet
@@ -1329,7 +1355,7 @@ def bglst_log_ml_fast(t, y, w, df, fmin, nf, taps=12):
         axis=-2,
     )  # [nf, 4, 4]
     bvec = jnp.stack([Cy, Sy, swty * ones, swy * ones], axis=-1)  # [nf, 4]
-    theta, logdet = _solve_spd_small_logdet(G, bvec)
+    theta, logdet = _solve_spd_small_logdet(G, bvec)  # equilibrated+ridged
     chi2 = swyy - jnp.sum(bvec * theta, axis=-1)
     return -0.5 * chi2 - 0.5 * logdet
 

@@ -27,11 +27,18 @@ dynamic row stores; trial frequencies ride the scalar-prefetch slot
 are padded with all-zero value rows, so padding never contributes
 regardless of its bin. Lane padding rounds the bin axis up to 128.
 
-Binning formulation: ``floor(frac(t * f) * n_phi)`` with f = 1/period in
-float32 — one ulp from the scatter paths' ``(t / period) % 1``, so a
-sample exactly on a bin edge may land one bin over; statistically
-irrelevant for a trial-grid scan (the scorers' tests pin identical peak
-recovery).
+Binning formulation: ``floor(frac((t - t[0]) * f) * n_phi)`` with
+f = 1/period in float32. The epoch subtraction happens in the INPUT
+dtype before the f32 cast: absolute-epoch time stamps (BJD ~2.45e6 over
+a ~1e3-day baseline) would otherwise put t*f at ~1e6 cycles, where f32
+phase error spans several bins of 256 and transit depths lose up to
+half their statistic. After the shift the f32 phase error is
+``(elapsed/period) * 2^-24`` cycles — ~1e-4 of a bin for a 1400-day
+baseline at a 0.5-day trial period, i.e. only samples within that
+distance of a bin edge can hop one bin relative to the exact fold.
+All scorer statistics (BLS power/depth, AoV F, conditional entropy,
+Gregory-Loredo counts) are phase-origin invariant; reported bin phases
+reference t[0] (``bls_scan`` folds both binners on the same origin).
 """
 
 from functools import partial
@@ -87,10 +94,14 @@ def fold_onehot(t, values, freqs, n_phi, stride=1, offsets=None,
     ``offsets`` [N] in [0, stride) for 2-D histograms (flat bin =
     phase_bin * stride + offset).
 
-    Returns [P, nv, n_phi * stride] f32. P is padded internally to the
-    program chunk; padded rows are dropped before returning.
+    Phases are referenced to t[0]: the fold is ``frac((t - t[0]) * f)``
+    with the epoch subtraction in the input dtype (see module docstring
+    for the precision analysis). Returns [P, nv, n_phi * stride] f32.
+    P is padded internally to the program chunk; padded rows are
+    dropped before returning.
     """
-    t = jnp.asarray(t, jnp.float32)
+    t = jnp.asarray(t)
+    t = (t - t[0]).astype(jnp.float32)
     values = jnp.atleast_2d(jnp.asarray(values, jnp.float32))
     freqs = jnp.asarray(freqs, jnp.float32)
     nv, n = values.shape

@@ -195,9 +195,10 @@ def test_string_length_estimator_fast_default():
 
 
 def _bls_sr2_numpy(t, y, w, period, widths, nbins):
-    """Brute-force KZM02 weighted signal residue over the same phase bins."""
+    """Brute-force KZM02 weighted signal residue over the same phase bins
+    (phase origin t[0], matching bls_scan's epoch-safe fold)."""
     yc = y - np.sum(w * y)
-    phi = (t / period) % 1.0
+    phi = ((t - t[0]) / period) % 1.0
     b = np.clip((phi * nbins).astype(np.int64), 0, nbins - 1)
     r_bin = np.bincount(b, weights=w, minlength=nbins)
     s_bin = np.bincount(b, weights=w * yc, minlength=nbins)

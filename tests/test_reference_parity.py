@@ -30,6 +30,27 @@ def ref_trig_sum():
     return ns["_trig_sum"]
 
 
+def test_anchor_mirror_trig_sum_bit_identical(ref_trig_sum):
+    """benchmarks/anchors._mirror_trig_sum (the reviewed first-party
+    replacement for exec'ing the mounted reference at benchmark runtime,
+    ADVICE r4) must stay BIT-identical to the reference's _trig_sum —
+    same extirpolation stencil, same grid, same rotations."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.anchors import _mirror_trig_sum
+
+    rng = np.random.default_rng(3)
+    n, nf = 1500, 700
+    t = np.sort(rng.uniform(0, 80, n)) + 11.0
+    w = rng.standard_normal(n)
+    df, fmin = 0.009, 0.0045
+    S_ref, C_ref = ref_trig_sum(t, w, df, nf, fmin)
+    S, C = _mirror_trig_sum(t, w, df, nf, fmin)
+    np.testing.assert_array_equal(S, S_ref)
+    np.testing.assert_array_equal(C, C_ref)
+
+
 def test_trig_sum_matches_reference(ref_trig_sum):
     from periodicity_tpu.ops.trig_sum import trig_sum
 

@@ -402,6 +402,26 @@ def test_bglst_fast_matches_direct():
     np.testing.assert_allclose(fast, direct, atol=5e-8)
 
 
+def test_bglst_near_singular_design_stays_finite():
+    """A nearly collinear [cos, sin, t, 1] design (very small n, trial
+    frequencies far below 1/baseline so cos~1 and sin~t) must yield
+    finite log-ML, not a NaN from a non-positive Cholesky pivot — the
+    unrolled SPD solve carries the same tiny ridge as the multiterm/
+    multiband Gram solves (ADVICE r4)."""
+    from periodicity_tpu.spectral import bglst_log_ml, bglst_log_ml_fast
+
+    rng = np.random.default_rng(7)
+    n = 6  # tiny n: the 4-column design is barely overdetermined
+    t = np.sort(rng.uniform(0, 10.0, n))
+    y = 0.1 * t + 0.01 * rng.standard_normal(n)
+    w = np.full(n, 25.0)
+    df, fmin, nf = 1e-5, 1e-7, 64  # f*baseline ~ 1e-4: cos ~ 1, sin ~ t
+    direct = np.asarray(bglst_log_ml(t, y, w, df, fmin, nf))
+    fast = np.asarray(bglst_log_ml_fast(t, y, w, df, fmin, nf))
+    assert np.isfinite(direct).all()
+    assert np.isfinite(fast).all()
+
+
 def test_bglst_estimator_fast_default():
     """BGLST() runs the fast path by default and stays trend-robust."""
     from periodicity_tpu.spectral import BGLST
