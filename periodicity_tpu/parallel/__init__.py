@@ -23,8 +23,11 @@ from .distributed import initialize_distributed, multihost_mesh
 from .mesh import default_mesh, grid_sharding
 from .sharded import (
     sharded_acf,
+    sharded_aov,
     sharded_bls,
+    sharded_conditional_entropy,
     sharded_gls,
+    sharded_gregory_loredo,
     sharded_pdm,
     sharded_string_length,
 )
@@ -36,6 +39,9 @@ __all__ = [
     "sharded_pdm",
     "sharded_string_length",
     "sharded_bls",
+    "sharded_aov",
+    "sharded_conditional_entropy",
+    "sharded_gregory_loredo",
     "sharded_acf",
     "distributed_fft",
     "distributed_ifft",

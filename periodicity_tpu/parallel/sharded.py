@@ -16,13 +16,23 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models.spectral import gls_power
-from ..models.phase import bls_scan, pdm_scan, string_length_scan
+from ..models.phase import (
+    aov_scan,
+    bls_scan,
+    conditional_entropy_scan,
+    gregory_loredo_scan,
+    pdm_scan,
+    string_length_scan,
+)
 
 __all__ = [
     "sharded_gls",
     "sharded_pdm",
     "sharded_string_length",
     "sharded_bls",
+    "sharded_aov",
+    "sharded_conditional_entropy",
+    "sharded_gregory_loredo",
     "sharded_acf",
 ]
 
@@ -93,6 +103,51 @@ def sharded_string_length(t, m, periods, mesh, axis="grid", batch_size=128):
         string_length_scan, t, m, jnp.asarray(periods), mesh, axis,
         batch_size=batch_size,
     )
+
+
+def sharded_aov(t, x, periods, mesh, axis="grid", nb=9, batch_size=128,
+                binner="scatter"):
+    """AoV F-statistic over a period grid sharded across chips. Same
+    trial-grid split as :func:`sharded_pdm`; ``binner="pallas"`` runs the
+    one-hot MXU fold on each chip's shard."""
+    return _sharded_period_scan(
+        aov_scan, t, x, jnp.asarray(periods), mesh, axis,
+        nb=nb, batch_size=batch_size, binner=binner,
+    )
+
+
+def sharded_conditional_entropy(t, x, periods, mesh, axis="grid", n_phi=10,
+                                n_mag=5, batch_size=128, binner="scatter"):
+    """Conditional entropy H(mag | phase) over a sharded period grid."""
+    return _sharded_period_scan(
+        conditional_entropy_scan, t, x, jnp.asarray(periods), mesh, axis,
+        n_phi=n_phi, n_mag=n_mag, batch_size=batch_size, binner=binner,
+    )
+
+
+def sharded_gregory_loredo(t, periods, mesh, axis="grid", n_bins=12,
+                           batch_size=128, binner="scatter"):
+    """Gregory-Loredo log odds over a sharded period grid (the scorer
+    folds only the sample times — no magnitude operand to replicate)."""
+    periods = jnp.asarray(periods)
+    d = mesh.shape[axis]
+    if periods.shape[0] % d:
+        raise ValueError(
+            f"n_periods={periods.shape[0]} must be divisible by mesh axis size {d}"
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _run(t, periods_local):
+        return gregory_loredo_scan(t, periods_local, n_bins=n_bins,
+                                   batch_size=batch_size, binner=binner)
+
+    return _run(jnp.asarray(t), periods)
 
 
 def sharded_bls(t, y, w, periods, mesh, axis="grid", widths=(3, 13, 26),

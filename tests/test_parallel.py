@@ -61,6 +61,40 @@ def test_sharded_string_length_matches_single_device(mesh):
     np.testing.assert_allclose(got, ref, rtol=1e-10)
 
 
+def test_sharded_aov_matches_single_device(mesh):
+    from periodicity_tpu.parallel import sharded_aov
+    from periodicity_tpu.phase import aov_scan
+
+    t, y, _ = _data()
+    periods = np.linspace(2.0, 12.0, 800)
+    ref = np.asarray(aov_scan(t, y, periods))
+    got = np.asarray(sharded_aov(t, y, periods, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_sharded_conditional_entropy_matches_single_device(mesh):
+    from periodicity_tpu.parallel import sharded_conditional_entropy
+    from periodicity_tpu.phase import conditional_entropy_scan
+
+    t, y, _ = _data()
+    periods = np.linspace(2.0, 12.0, 800)
+    ref = np.asarray(conditional_entropy_scan(t, y, periods))
+    got = np.asarray(sharded_conditional_entropy(t, y, periods, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+    assert np.argmin(got) == np.argmin(ref)
+
+
+def test_sharded_gregory_loredo_matches_single_device(mesh):
+    from periodicity_tpu.parallel import sharded_gregory_loredo
+    from periodicity_tpu.phase import gregory_loredo_scan
+
+    t, _, _ = _data()
+    periods = np.linspace(2.0, 12.0, 800)
+    ref = np.asarray(gregory_loredo_scan(t, periods))
+    got = np.asarray(sharded_gregory_loredo(t, periods, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
 def test_sharded_acf_batch(mesh):
     mesh2 = default_mesh(("batch",))
     rng = np.random.default_rng(1)
