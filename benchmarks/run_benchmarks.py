@@ -287,7 +287,8 @@ def config5_gp():
             lls = jax.vmap(one)(ws)
             return (ws + lls[:, None] * 1e-12, acc + lls[0])
 
-        return jax.lax.fori_loop(0, k, body, (ws, jnp.float64(0) if ws.dtype == jnp.float64 else jnp.float32(0)))[1]
+        zero = jnp.float64(0) if ws.dtype == jnp.float64 else jnp.float32(0)
+        return jax.lax.fori_loop(0, k, body, (ws, zero))[1]
 
     dt = _sync_time(lambda: float(loop(walkers))) / k
     evals_per_sec = n_walkers / dt

@@ -33,7 +33,20 @@ from ..ops.trig_sum import (
 )
 from ..utils.logging import log_event
 
-__all__ = ["GLS", "BGLST", "MultibandGLS", "gls_power", "gls_power_batch", "gls_power_multiterm", "gls_power_multiband", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
+__all__ = [
+    "GLS",
+    "BGLST",
+    "MultibandGLS",
+    "gls_power",
+    "gls_power_batch",
+    "gls_power_multiterm",
+    "gls_power_multiband",
+    "bglst_log_ml",
+    "bglst_log_ml_fast",
+    "default_frequency_grid",
+    "fap_baluev",
+    "fal_baluev",
+]
 
 
 def _nfft_2f(dtype, nf):
@@ -77,7 +90,10 @@ def default_frequency_grid(signal, fmin=None, fmax=None, n=5):
     return freq, df, fmin
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "pair_q", "gridder", "taps", "nfft"))
+@partial(
+    jax.jit,
+    static_argnames=("nf", "fit_mean", "psd", "method", "pair_q", "gridder", "taps", "nfft"),
+)
 def gls_power(t, y, err, df, fmin, nf, fit_mean=True, psd=False, method="fast",
               pair_q=None, gridder="scatter", taps=4, nfft=None):
     """Generalized Lomb-Scargle power on a uniform frequency grid.
@@ -221,7 +237,10 @@ def _gls_power_rows(t, ys, errs, df, fmin, nf, fit_mean, psd, pair_q=None,
     )
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q", "gridder", "taps"))
+@partial(
+    jax.jit,
+    static_argnames=("nf", "fit_mean", "psd", "method", "batch_size", "pair_q", "gridder", "taps"),
+)
 def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
                     method="fast", batch_size=None, pair_q=None,
                     gridder="scatter", taps=4):
@@ -284,7 +303,20 @@ def gls_power_batch(t, ys, errs, df, fmin, nf, fit_mean=True, psd=False,
     return out.reshape(groups * chunk, nf)[:b]
 
 
-@partial(jax.jit, static_argnames=("nf", "fit_mean", "psd", "method", "n_bootstraps", "pair_q", "gridder", "taps", "nterms"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nf",
+        "fit_mean",
+        "psd",
+        "method",
+        "n_bootstraps",
+        "pair_q",
+        "gridder",
+        "taps",
+        "nterms",
+    ),
+)
 def _bootstrap_powers(key, t, y, err, df, fmin, nf, n_bootstraps,
                       fit_mean=True, psd=False, method="fast", pair_q=None,
                       gridder="scatter", taps=4, nterms=1):

@@ -98,7 +98,8 @@ def tridiagonal_solve(lower, diag, upper, rhs):
         return (cp, dp), (cp, dp)
 
     a = jnp.concatenate([jnp.zeros_like(lower[:1]), lower[1:]])
-    _, (cp, dp) = jax.lax.scan(fwd, (jnp.zeros_like(diag[0]), jnp.zeros_like(rhs[0])), (a, diag, upper, rhs))
+    init = (jnp.zeros_like(diag[0]), jnp.zeros_like(rhs[0]))
+    _, (cp, dp) = jax.lax.scan(fwd, init, (a, diag, upper, rhs))
 
     def bwd(carry, inp):
         x_next = carry

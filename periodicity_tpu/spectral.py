@@ -16,4 +16,17 @@ from .models.spectral import (
     gls_power_multiterm,
 )
 
-__all__ = ["GLS", "BGLST", "MultibandGLS", "gls_power", "gls_power_batch", "gls_power_multiterm", "gls_power_multiband", "bglst_log_ml", "bglst_log_ml_fast", "default_frequency_grid", "fap_baluev", "fal_baluev"]
+__all__ = [
+    "GLS",
+    "BGLST",
+    "MultibandGLS",
+    "gls_power",
+    "gls_power_batch",
+    "gls_power_multiterm",
+    "gls_power_multiband",
+    "bglst_log_ml",
+    "bglst_log_ml_fast",
+    "default_frequency_grid",
+    "fap_baluev",
+    "fal_baluev",
+]
