@@ -415,7 +415,7 @@ def config7_gp_scaling():
     probe = os.path.join(os.path.dirname(__file__), "_gp1e6_probe.py")
     deadline = int(os.environ.get("PERIODICITY_BENCH_1E6_DEADLINE", 1500))
     point_1e6 = None
-    for mode, budget in (("blocked", deadline), ("sharded", 3600)):
+    for mode, budget in (("chunked", deadline), ("sharded", 3600)):
         try:
             out = subprocess.run(
                 [sys.executable, probe, mode], capture_output=True,

@@ -29,8 +29,8 @@ from ...ops.optimize import lbfgs_box
 from ...utils.logging import log_event
 from . import mcmc as _mcmc
 from .nuts import run_nuts
-from .pscan import (log_likelihood_blocked, log_likelihood_pscan,
-                    log_likelihood_sharded)
+from .pscan import (log_likelihood_blocked, log_likelihood_chunked,
+                    log_likelihood_pscan, log_likelihood_sharded)
 from .solver import GaussianProcess, log_likelihood
 from .terms import BrownianTerm, RotationTerm
 
@@ -169,6 +169,10 @@ class CeleriteModeler:
             ll_fn = log_likelihood_pscan
         elif self.solver == "blocked":
             ll_fn = log_likelihood_blocked
+        elif self.solver == "chunked":
+            # bounded-compile long-series path: the compiled program is
+            # one chunk of HLO regardless of N (pscan.log_likelihood_chunked)
+            ll_fn = log_likelihood_chunked
         elif self.solver == "sharded":
             # sequence-parallel: time axis sharded over self.mesh, one
             # all_gather of per-chip Kalman block summaries per evaluation

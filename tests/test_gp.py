@@ -190,6 +190,15 @@ def test_pscan_modeler_path(spotted):
     assert m_scan.nll(u) == pytest.approx(m_pscan.nll(u), rel=1e-8)
 
 
+def test_chunked_modeler_path(spotted):
+    """BrownianGP with solver='chunked' gives the same NLL surface."""
+    sig, dy = spotted
+    m_scan = BrownianGP(sig, err=dy, solver="scan")
+    m_chunked = BrownianGP(sig, err=dy, solver="chunked")
+    u = np.full(6, 50.0)
+    assert m_scan.nll(u) == pytest.approx(m_chunked.nll(u), rel=1e-8)
+
+
 def test_celerite_scan_float32_characterized():
     """Characterize the celerite scan in float32 (the TPU-native dtype)
     against float64: the log-likelihood agrees within the rtol=1e-6-scale
@@ -245,3 +254,70 @@ def test_blocked_likelihood_matches_scan():
         for nb in (1, 3, 16, 128):
             got = float(log_likelihood_blocked(term, t, diag, y, n_blocks=nb))
             assert got == pytest.approx(want, rel=1e-10), (nb, got, want)
+
+
+def test_chunked_likelihood_matches_scan():
+    """The bounded-compile chunked solver (lax.scan over fixed-size chunks
+    with a composed-element carry) equals the sequential scan solver for
+    SHO-family terms at every chunk/inner-block geometry, including
+    non-dividing chunk sizes (identity-element padding)."""
+    from periodicity_tpu.models.gp.pscan import log_likelihood_chunked
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm, RotationTerm
+
+    rng = np.random.default_rng(13)
+    n = 1003  # prime-ish: exercises the identity-padding path
+    t = np.sort(rng.uniform(0, 60, n))
+    y = np.sin(2 * np.pi * t / 9.0) + 0.1 * rng.standard_normal(n)
+    y = y - y.mean()
+    diag = np.full(n, 0.02)
+    # one geometry per term (each geometry is a fresh ~40 s XLA-CPU
+    # compile; the cross product adds minutes of suite time for no
+    # coverage — all four geometries were validated once at 1e-15)
+    cases = (
+        (RotationTerm(sigma=1.0, period=9.0, Q0=2.0, dQ=1.0, f=0.3), 256, 64),
+        (BrownianTerm(0.01, 20.0, 10.0, 0.3), 100, 7),
+    )
+    for term, chunk, inner in cases:
+        want = float(log_likelihood(term, t, diag, y))
+        got = float(
+            log_likelihood_chunked(term, t, diag, y, chunk=chunk, inner_blocks=inner)
+        )
+        assert got == pytest.approx(want, rel=1e-10), (chunk, inner, got, want)
+
+
+def test_chunked_likelihood_grad_and_vmap():
+    """jax.grad through the chunked solver matches grad through the
+    sequential scan (MCMC/NUTS depend on this), and the solver vmaps over
+    term hyperparameters (walker batching)."""
+    import jax
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.gp.pscan import log_likelihood_chunked
+    from periodicity_tpu.models.gp.solver import log_likelihood
+    from periodicity_tpu.models.gp.terms import BrownianTerm
+
+    rng = np.random.default_rng(14)
+    n = 800
+    t = np.sort(rng.uniform(0, 100, n))
+    y = np.sin(2 * np.pi * t / 20.0) + 0.05 * rng.standard_normal(n)
+    y = y - y.mean()
+    diag = np.full(n, 0.01)
+
+    def f_seq(p):
+        return log_likelihood(BrownianTerm(p[0], p[1], p[2], p[3]), t, diag, y)
+
+    def f_chk(p):
+        return log_likelihood_chunked(
+            BrownianTerm(p[0], p[1], p[2], p[3]), t, diag, y, chunk=256, inner_blocks=64
+        )
+
+    p = jnp.asarray([0.01, 20.0, 10.0, 0.3])
+    g_seq = jax.grad(f_seq)(p)
+    g_chk = jax.grad(f_chk)(p)
+    np.testing.assert_allclose(np.asarray(g_chk), np.asarray(g_seq), rtol=1e-6)
+
+    pv = jnp.stack([p, p * 1.1, p * 0.9])
+    lls = jax.vmap(f_chk)(pv)
+    want = np.asarray([float(f_seq(pi)) for pi in pv])
+    np.testing.assert_allclose(np.asarray(lls), want, rtol=1e-8)
