@@ -121,6 +121,61 @@ def config9(result, sift_units=None):
     return out
 
 
+def config7(result, rank=4):
+    """Chunked/blocked Kalman celerite likelihood at the headline N.
+
+    Per-sample work (r = state dim; BrownianTerm with concrete Q lowers
+    to 1 complex pair + 2 real slots -> r = 4): element construction
+    ~8r^3, ~3 _combine
+    applications (inner scan + stitch + summary) at ~6r^3 each with the
+    unrolled shared-matrix solve, innovation ~4r^3 -> ~30 r^3 flops.
+    Traffic floor: the five element leaves (~3r^2 + 2r f32 per sample)
+    written once and re-read twice (scan + stitch)."""
+    detail = result.get("detail", {})
+    key = next((k for k in detail if k.endswith("_N1000000")), None)
+    if key is None or "evals_per_sec" not in detail.get(key, {}):
+        return result
+    n = 1_000_000
+    rate = detail[key]["evals_per_sec"]
+    flops = 30.0 * rank**3 * n
+    byts = 3.0 * (3 * rank**2 + 2 * rank) * F32 * n
+    return _annotate(result, rate * flops, rate * byts,
+                     "two-level Kalman composition is DEPTH-bound, not "
+                     "roofline-bound: ~N/inner_blocks sequential combine "
+                     "steps per eval dominate; throughput comes from "
+                     "vmapping walkers over the same scan")
+
+
+def config11(result):
+    """BLS over the one-hot MXU fold: per trial period the fold is ONE
+    [rows=2, N] x [N, nbins] matmul (the one-hot operand built in VMEM —
+    no HBM traffic for it), then circular prefix-sum window stats.
+
+    flops: 2 rows x 2 flops/MAC x N x nbins per period (+ N x nbins
+    one-hot build compares + ~30 x nbins window-stat ops). bytes: the
+    folded [2, nbins] bins written + ~3 read passes for window stats;
+    inputs amortize over the 512-period chunk."""
+    n, nbins, n_periods = 2000, 256, 100_000
+    per_period_flops = 2 * 2.0 * n * nbins + n * nbins + 30.0 * nbins
+    per_period_bytes = 8.0 * nbins * F32 + 3.0 * n * F32 / 512
+    rate = result["value"]  # periods/sec
+    return _annotate(result, rate * per_period_flops,
+                     rate * per_period_bytes,
+                     "one-hot fold is real MXU matmul work; mfu is the "
+                     "meaningful utilization number for this config")
+
+
+def config14(result):
+    """Long-series GLS (N=1e6 samples, nf=1e5): same pipeline model as
+    config 1/6 — the balance flips to sample gridding (N >> nf)."""
+    n, nf = 1_000_000, 100_000
+    flops, byts = _gls_eval(n, nf, paired=True)
+    rate = result["value"]  # periodograms/sec
+    return _annotate(result, rate * flops, rate * byts,
+                     "gridding-dominated GLS: 1e6-sample extirpolation "
+                     "into a 2^19 grid; FFT cost is secondary at this nf")
+
+
 def _annotate(result, flops_per_sec, bytes_per_sec, note):
     hbm = bytes_per_sec / 1e9
     gf = flops_per_sec / 1e9

@@ -441,12 +441,12 @@ def config7_gp_scaling():
         top = key
     else:
         top = "blocked_N100000"
-    return {
+    return roofline.config7({
         "metric": f"celerite_logL_evals_per_sec_{top.split('_N')[1]}",
         "value": points[top]["evals_per_sec"],
         "unit": "evals/sec",
         "detail": points,
-    }
+    })
 
 
 def config8_mcmc_throughput():
@@ -633,13 +633,13 @@ def config11_bls():
         return jax.lax.fori_loop(0, k, body, (y0, jnp.float32(0)))[1]
 
     dt = _sync_time(lambda: float(loop(yj))) / k
-    return {
+    return roofline.config11({
         "metric": "bls_trial_periods_per_sec_N2000_4dur",
         "value": n_periods / dt,
         "unit": "periods/sec",
         "detail": {"seconds_per_scan": dt, "n_durations": len(widths),
                    "nbins": 256, "binner": binner},
-    }
+    })
 
 
 def config12_multiterm():
@@ -811,14 +811,14 @@ def config14_long_series():
         return jax.lax.fori_loop(0, k2, body, (y0, jnp.float32(0)))[1]
 
     dt_acf = _sync_time(lambda: float(loop_acf(y2j))) / k2
-    return {
+    return roofline.config14({
         "metric": "gls_long_series_periodograms_per_sec_N1e6_nf1e5",
         "value": 1.0 / dt,
         "unit": "periodograms/sec",
         "detail": {"n": n, "nf": nf, "sec_per_call": dt,
                    "acf_n": n_acf, "acf_sec_per_call": dt_acf,
                    "acf_per_sec": 1.0 / dt_acf},
-    }
+    })
 
 
 CONFIGS = {
@@ -864,6 +864,14 @@ def _join_anchor(result, anchor):
     result["cpu_anchored_by"] = anchor["anchored_by"]
     if "note" in anchor:
         result["cpu_anchor_note"] = anchor["note"]
+    if "cores_scale" in anchor:
+        # Pool-parallel reference families: charge a nominal multicore
+        # deployment, not just the serial 1-core anchor (VERDICT r4 dir 2a)
+        scale = anchor["cores_scale"]
+        result["cores_scaled_estimate_units_per_sec"] = cpu_rate * scale
+        result["speedup_vs_cores_scaled_estimate"] = (
+            result["value"] / (cpu_rate * scale)
+        )
     return result
 
 

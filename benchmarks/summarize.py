@@ -23,12 +23,20 @@ def main(path):
         util = ""
         if "hbm_frac" in d:
             util = f"{100 * d['hbm_frac']:.1f}% HBM"
-            if d.get("mfu", 0) >= 0.001:
-                util += f", {100 * d['mfu']:.1f}% MXU"
+            # print tiny mfu values instead of hiding them (VERDICT r4
+            # weak-point 4: masking <0.1% made a stale all-zero line
+            # indistinguishable from a real sub-0.1% one)
+            util += f", {100 * d.get('mfu', 0):.3g}% MXU"
+        speed_cell = f"{speed:,.1f}x" if speed is not None else "—"
+        if d.get("speedup_vs_cores_scaled_estimate") is not None:
+            speed_cell += (
+                f" ({d['speedup_vs_cores_scaled_estimate']:.2g}x vs "
+                f"8-core est)"
+            )
         rows.append((
             d["metric"],
             f"{d['value']:.4g} {d['unit']}",
-            f"{speed:,.1f}x" if speed is not None else "—",
+            speed_cell,
             util or "—",
         ))
     print("| Config | Result | vs CPU anchor | Utilization |")

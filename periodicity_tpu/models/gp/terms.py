@@ -17,6 +17,7 @@ SHOTerm accepts (S0|sigma) x (w0|rho) x (Q|tau); RotationTerm is the
 two-SHO starspot kernel; PSDs are in the sqrt(2/pi) normalization.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -107,8 +108,10 @@ class SHOTerm(Term):
     Exactly one of (S0, sigma), one of (w0, rho), one of (Q, tau):
       rho = 2 pi / w0;  tau = 2 Q / w0;  sigma = sqrt(S0 w0 Q).
     Q >= 0.5 lowers to one complex celerite term; Q < 0.5 to two real
-    terms — both represented simultaneously with select-masked slots so Q
-    may be traced.
+    terms. With a concrete Q the branch is decided at trace time and only
+    the live slots are emitted (halving the solver state dimension); with
+    a traced Q both are represented simultaneously via select-masked
+    slots.
     """
 
     def __init__(self, *, S0=None, sigma=None, w0=None, rho=None, Q=None, tau=None):
@@ -130,6 +133,41 @@ class SHOTerm(Term):
 
     def coefficients(self):
         S0, w0, Q = self.S0, self.w0, self.Q
+        # STATIC fast path: when Q is concrete (not traced through jit/
+        # vmap over hyperparameters), the under/overdamped branch is known
+        # at trace time — emit ONLY the live slots. This halves the state
+        # dimension of every downstream solver (element traffic in the
+        # Kalman solvers scales as r^2, flops as r^3), instead of carrying
+        # select-masked dead slots.
+        if not isinstance(Q, jax.core.Tracer):
+            qv = float(Q)
+            empty = jnp.zeros(0, jnp.result_type(S0))
+            if qv >= 0.5:
+                fc = jnp.sqrt(jnp.maximum(4 * Q**2 - 1.0, _EPS))
+                a_c = S0 * w0 * Q
+                return (
+                    empty,
+                    empty,
+                    jnp.stack([a_c]),
+                    jnp.stack([a_c / fc]),
+                    jnp.stack([0.5 * w0 / Q]),
+                    jnp.stack([0.5 * w0 / Q * fc]),
+                )
+            fr = jnp.sqrt(jnp.maximum(1.0 - 4 * Q**2, _EPS))
+            return (
+                jnp.stack([
+                    0.5 * S0 * w0 * Q * (1 + 1 / fr),
+                    0.5 * S0 * w0 * Q * (1 - 1 / fr),
+                ]),
+                jnp.stack([
+                    0.5 * w0 / Q * (1 - fr),
+                    0.5 * w0 / Q * (1 + fr),
+                ]),
+                empty,
+                empty,
+                empty,
+                empty,
+            )
         under = Q >= 0.5
         # underdamped (complex slot)
         fc = jnp.sqrt(jnp.maximum(4 * Q**2 - 1.0, _EPS))
