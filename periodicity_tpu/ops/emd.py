@@ -38,13 +38,24 @@ def _compact_with_edges(t, x, mask, cap):
 
     Returns (et [cap+2], ev [cap+2], m) with m = interior_count + 2; pad
     slots strictly increasing in time.
+
+    Compaction is ONE multi-operand ``lax.sort`` (key = position for
+    extrema, N+position otherwise) carrying (t, x) as co-sorted operands —
+    the StringLength trick. The previous ``jnp.nonzero(size=cap)`` +
+    ``t[idx]`` formulation lowered to batched dynamic gathers, which
+    serialize badly on TPU under vmap and dominated the whole sift
+    (~45% of per-iteration time at the HHT shape).
     """
     n = t.shape[0]
-    idx = jnp.nonzero(mask, size=cap, fill_value=n)[0]
-    m_int = jnp.sum(idx < n)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(mask, pos, pos + jnp.int32(n))
+    _, st, sx = jax.lax.sort((keys, t, x), num_keys=1)
+    m_int = jnp.sum(mask)
     m = m_int + 2
     slots = jnp.arange(cap + 2)
-    gi = jnp.clip(idx[jnp.clip(slots - 1, 0, cap - 1)], 0, n - 1)
+    # slots 1..m_int read the sorted extrema at STATIC offsets slots-1
+    mid_t = st[jnp.clip(slots - 1, 0, n - 1)]
+    mid_v = sx[jnp.clip(slots - 1, 0, n - 1)]
     fdt = (t[-1] - t[0]) / n + 1.0
     filler_t = t[-1] + (slots - (m - 1)) * fdt
     et = jnp.where(
@@ -52,7 +63,7 @@ def _compact_with_edges(t, x, mask, cap):
         t[0],
         jnp.where(
             slots <= m_int,
-            t[gi],
+            mid_t,
             jnp.where(slots == m - 1, t[-1], filler_t),
         ),
     )
@@ -61,7 +72,7 @@ def _compact_with_edges(t, x, mask, cap):
         x[0],
         jnp.where(
             slots <= m_int,
-            x[gi],
+            mid_v,
             jnp.where(slots == m - 1, x[-1], 0.0),
         ),
     )
@@ -81,32 +92,35 @@ def _pad_reflect_drop(et, ev, m, pad_width):
     i = jnp.arange(c)
     count = m + 2 * w - 2
     t0 = et[0]
-    tl = et[jnp.clip(m - 1, 0, c0 - 1)]
 
-    # left section: src = w - i, odd-reflected times, even values
+    def pick(a, j):  # one scalar dynamic pick (vmaps to an [L]-gather)
+        return jax.lax.dynamic_index_in_dim(
+            a, jnp.clip(j, 0, c0 - 1), keepdims=False
+        )
+
+    tl = pick(et, m - 1)
+
+    # left section: src = w - i (STATIC indices); middle: src = i - w + 1
+    # (STATIC) — both compile to constant gathers, no dynamic addressing
     src_left = jnp.clip(w - i, 0, c0 - 1)
-    # middle: src = i - w + 1
     src_mid = jnp.clip(i - w + 1, 0, c0 - 1)
-    # right: src = (m - 2) - (i - (m + w - 2))
-    src_right = jnp.clip(2 * m + w - 4 - i, 0, c0 - 1)
 
     in_left = i < w
     in_mid = (i >= w) & (i < m + w - 2)
     in_right = (i >= m + w - 2) & (i < count)
 
-    out_t = jnp.where(
-        in_left,
-        2 * t0 - et[src_left],
-        jnp.where(in_mid, et[src_mid], 2 * tl - et[src_right]),
-    )
-    out_v = jnp.where(
-        in_left,
-        ev[src_left],
-        jnp.where(in_mid, ev[src_mid], ev[src_right]),
-    )
+    out_t = jnp.where(in_left, 2 * t0 - et[src_left], et[src_mid])
+    out_v = jnp.where(in_left, ev[src_left], ev[src_mid])
+    # right section: the w slots i = m+w-2+k reflect source m-2-k — w
+    # scalar dynamic picks unrolled over the static pad width instead of
+    # a capacity-wide dynamic gather (the gather serialized on TPU)
+    for k in range(w):
+        sel = i == (m + w - 2 + k)
+        out_t = jnp.where(sel, 2 * tl - pick(et, m - 2 - k), out_t)
+        out_v = jnp.where(sel, pick(ev, m - 2 - k), out_v)
     # strictly increasing fillers past the valid range
     fdt = (tl - t0) + 1.0
-    last_valid_t = 2 * tl - et[jnp.clip(m - 1 - w, 0, c0 - 1)]
+    last_valid_t = 2 * tl - pick(et, m - 1 - w)
     filler = last_valid_t + (i - (count - 1)) * (fdt / c + 1e-3)
     out_t = jnp.where(in_left | in_mid | in_right, out_t, filler)
     out_v = jnp.where(in_left | in_mid | in_right, out_v, 0.0)

@@ -48,7 +48,7 @@ _NBINS = _ROWS
 
 
 def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
-            *rest, taps, rows, value_on_m):
+            *rest, taps, rows, value_on_m, split_values):
     lag_refs = rest[:taps]
     out_re_ref, out_im_ref = rest[taps], rest[taps + 1]
     b = pl.program_id(0)
@@ -101,8 +101,8 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
             # error at ~bf16_eps^2 ~ 1.6e-5 relative.
             v_re = ure_w * lag_w
             v_im = uim_w * lag_w
-            for hi_lo in range(2):
-                if hi_lo == 0:
+            for hi_lo in range(2 if split_values else 1):
+                if split_values and hi_lo == 0:
                     vr = v_re.astype(jnp.bfloat16).astype(jnp.float32)
                     vi = v_im.astype(jnp.bfloat16).astype(jnp.float32)
                     v_re, v_im = v_re - vr, v_im - vi
@@ -137,9 +137,10 @@ def _kernel(starts_ref, ends_ref, ilo_ref, ure_ref, uim_ref,
     out_im_ref[...] = acc_im
 
 
-@partial(jax.jit, static_argnames=("nfft", "interpret", "value_on_m"))
+@partial(jax.jit, static_argnames=("nfft", "interpret", "value_on_m",
+                                   "split_values"))
 def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False,
-                              value_on_m=False):
+                              value_on_m=False, split_values=True):
     """Spread u * lag[:, j] at sorted bases ilo [N]: the factored form the
     trig-sum pipelines produce (u = complex weights x phase rotation, lag =
     [N, taps] Lagrange weights; taps static from the shape). Returns
@@ -148,7 +149,13 @@ def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False,
     ``value_on_m`` selects the candidate inner form that carries sample
     values on the small bin-match matrix instead of the lane selector
     (identical results; an on-device A/B knob, default = the measured
-    production form)."""
+    production form).
+
+    ``split_values=False`` drops the f32-tail dot of the bf16 head+tail
+    value split: HALF the MXU work per (tap, plane) at ~4e-3 relative
+    grid error (the TPU matmul's bf16 input truncation) — the VERDICT r4
+    directive-4 precision/throughput experiment knob. Default keeps the
+    exact two-dot split (~1.6e-5 relative error)."""
     taps = lag.shape[1]
     # adapt the superblock height to small grids (e.g. the f32 half-size
     # 2f grid); nfft and _LANES are powers of two, so rows always divides
@@ -185,7 +192,8 @@ def extirpolate_grid_factored(ilo, u_re, u_im, lag, nfft, interpret=False,
         ],
     )
     out_re, out_im = pl.pallas_call(
-        partial(_kernel, taps=taps, rows=rows, value_on_m=value_on_m),
+        partial(_kernel, taps=taps, rows=rows, value_on_m=value_on_m,
+                split_values=split_values),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nfft // _LANES, _LANES), jnp.float32),
