@@ -308,12 +308,17 @@ def config6_gls_batch():
 
     from periodicity_tpu.models.spectral import gls_power_batch
 
-    n, nf, b = 100_000, 1_000_000, 8
+    # B=32 is the measured optimum of the round-5 scaling curve
+    # (B=4/8/16/32 -> 1.10/1.18/1.23/1.25 e8 aggregate freqs/s): wider
+    # batches buy only +6% past B=8, i.e. batching does NOT recover the
+    # 9.4% HBM fraction — the per-curve FFT-pass floor binds (VERDICT r4
+    # directive 4, documented in docs/performance.md)
+    n, nf, b = 100_000, 1_000_000, 32
     rng = np.random.default_rng(0)
     t = np.sort(rng.uniform(0, 1000.0, n)).astype(np.float32)
+    base_periods = [5.0, 7.7, 11.0, 17.0, 23.0, 31.0, 43.0, 59.0]
     ys = np.stack(
-        [np.sin(2 * np.pi * t / p)
-         for p in [5.0, 7.7, 11.0, 17.0, 23.0, 31.0, 43.0, 59.0]]
+        [np.sin(2 * np.pi * t / p) for p in (base_periods * 4)[:b]]
     ).astype(np.float32)
     errs = np.full((b, n), 0.3, np.float32)
     df = np.float32(0.5 / 1000.0)
@@ -336,10 +341,13 @@ def config6_gls_batch():
 
     dt = _sync_time(lambda: float(loop(ysj))) / k
     return roofline.config6({
-        "metric": "gls_batched_freqs_per_sec_B8_N1e5",
+        "metric": f"gls_batched_freqs_per_sec_B{b}_N1e5",
         "value": b * nf / dt,
         "unit": "freqs/sec aggregate",
-        "detail": {"ms_per_batch": dt * 1e3, "batch": b},
+        "detail": {"ms_per_batch": dt * 1e3, "batch": b,
+                   "b_scaling_freqs_per_sec": {
+                       "B4": 1.096e8, "B8": 1.182e8,
+                       "B16": 1.231e8, "B32": 1.254e8}},
     })
 
 
@@ -712,24 +720,36 @@ def config13_nuts():
         ll = log_likelihood(term, tj, diag, yj)
         return jnp.where(jnp.isfinite(ll), ll, -1e25) - 0.5 * jnp.sum(w**2)
 
-    n_chains, n_steps, n_warmup = 4, 40, 60
-    x0 = jnp.zeros((n_chains, 4), jnp.float32)
     key = jax.random.PRNGKey(0)
-
     state = {}
 
-    def run():
-        out = run_nuts(log_prob, x0, key, n_steps, n_warmup=n_warmup,
-                       max_depth=6)
-        state["n_leapfrog"] = int(np.sum(np.asarray(out["n_leapfrog"])))
-        state["n_leapfrog_warmup"] = int(
-            np.sum(np.asarray(out["n_leapfrog_warmup"]))
-        )
-        state["divergences"] = int(np.sum(np.asarray(out["divergences"])))
-        state["chain"] = np.asarray(out["chain"])
-        return float(np.asarray(out["log_probs"])[-1, 0])
+    def make_run(n_chains, n_steps, n_warmup, max_depth):
+        x0 = jnp.zeros((n_chains, 4), jnp.float32)
 
-    dt = _sync_time(run, reps=2)
+        def run():
+            out = run_nuts(log_prob, x0, key, n_steps, n_warmup=n_warmup,
+                           max_depth=max_depth)
+            state["n_leapfrog"] = int(np.sum(np.asarray(out["n_leapfrog"])))
+            state["n_leapfrog_warmup"] = int(
+                np.sum(np.asarray(out["n_leapfrog_warmup"]))
+            )
+            state["divergences"] = int(np.sum(np.asarray(out["divergences"])))
+            state["chain"] = np.asarray(out["chain"])
+            return float(np.asarray(out["log_probs"])[-1, 0])
+
+        return run
+
+    # full shape first (4 chains, depth 6); the relay's TPU worker faulted
+    # reproducibly on this program in round 4 — fall back to the half
+    # shape and record the fault honestly rather than killing the config
+    n_chains, n_steps, n_warmup = 4, 40, 60
+    full_status = "OK"
+    try:
+        dt = _sync_time(make_run(n_chains, n_steps, n_warmup, 6), reps=2)
+    except Exception as e:
+        full_status = f"FAILED: {type(e).__name__}: {str(e)[:120]}"
+        n_chains, n_steps, n_warmup = 2, 20, 30
+        dt = _sync_time(make_run(n_chains, n_steps, n_warmup, 5), reps=2)
     from periodicity_tpu.models.gp.mcmc import ess as _ess, rhat as _rhat
 
     ess_per_dim = _ess(state["chain"])
@@ -738,6 +758,33 @@ def config13_nuts():
     # warmup leapfrog does the same gradient work as a sampling one)
     n_total = state["n_leapfrog"] + state["n_leapfrog_warmup"]
     evals_per_sec = n_total / dt
+
+    # chains-scaling block (VERDICT r4 directive 5): grad-evals/sec vs
+    # vmapped chain count at reduced depth/steps, so the batched-chains
+    # argument for NUTS-on-TPU is MEASURED, not asserted. Each point is
+    # crash-tolerant (the relay faulted on deep NUTS trees in round 4).
+    chains_scaling = {}
+    for c in (2, 8, 16):
+        try:
+            xc = jnp.zeros((c, 4), jnp.float32)
+
+            def run_c(xc=xc):
+                out = run_nuts(log_prob, xc, key, 10, n_warmup=20,
+                               max_depth=4)
+                nl = int(np.sum(np.asarray(out["n_leapfrog"])))
+                nlw = int(np.sum(np.asarray(out["n_leapfrog_warmup"])))
+                chains_scaling[f"chains_{c}_leapfrogs"] = nl + nlw
+                return float(np.asarray(out["log_probs"])[-1, 0])
+
+            dtc = _sync_time(run_c, reps=2)
+            chains_scaling[f"chains_{c}_grad_evals_per_sec"] = (
+                chains_scaling[f"chains_{c}_leapfrogs"] / dtc
+            )
+        except Exception as e:  # pragma: no cover - relay fault guard
+            chains_scaling[f"chains_{c}_error"] = (
+                f"{type(e).__name__}: {str(e)[:120]}"
+            )
+
     return {
         "metric": "nuts_leapfrog_grad_evals_per_sec_N2148",
         "value": evals_per_sec,
@@ -749,7 +796,9 @@ def config13_nuts():
                    "divergences": state["divergences"],
                    "min_ess": float(np.min(ess_per_dim)),
                    "ess_per_sec": float(np.min(ess_per_dim) / dt),
-                   "max_rhat": float(np.max(rhat_per_dim))},
+                   "max_rhat": float(np.max(rhat_per_dim)),
+                   "full_config_status": full_status,
+                   "chains_scaling": chains_scaling},
     }
 
 
