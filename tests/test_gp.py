@@ -321,3 +321,24 @@ def test_chunked_likelihood_grad_and_vmap():
     lls = jax.vmap(f_chk)(pv)
     want = np.asarray([float(f_seq(pi)) for pi in pv])
     np.testing.assert_allclose(np.asarray(lls), want, rtol=1e-8)
+
+
+def test_solve_small_matches_linalg_solve():
+    """The unrolled partial-pivot small solve used by the Kalman element
+    composition matches jnp.linalg.solve on well-conditioned batches,
+    including the I + J C shape it actually sees (J, C PSD)."""
+    import jax.numpy as jnp
+
+    from periodicity_tpu.models.gp.pscan import _solve_small
+
+    rng = np.random.default_rng(7)
+    for r, k, batch in ((2, 5, 64), (4, 9, 32), (8, 17, 16)):
+        A = rng.standard_normal((batch, r, r))
+        C = A @ np.swapaxes(A, -1, -2)  # PSD
+        Bm = rng.standard_normal((batch, r, r))
+        J = Bm @ np.swapaxes(Bm, -1, -2)  # PSD
+        M = np.eye(r) + J @ C
+        rhs = rng.standard_normal((batch, r, k))
+        want = np.linalg.solve(M, rhs)
+        got = np.asarray(_solve_small(jnp.asarray(M), jnp.asarray(rhs)))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
