@@ -11,7 +11,13 @@ from .modelers import (
     QuasiPeriodicGP,
 )
 from .priors import make_gaussian_prior, make_ppf
-from .pscan import log_likelihood_pscan, ssm_matrices
+from .pscan import (
+    log_likelihood_blocked,
+    log_likelihood_chunked,
+    log_likelihood_pscan,
+    log_likelihood_sharded,
+    ssm_matrices,
+)
 from .solver import GaussianProcess, log_likelihood
 from .terms import BrownianTerm, RotationTerm, SHOTerm, Term, TermSum
 
@@ -26,6 +32,9 @@ __all__ = [
     "GaussianProcess",
     "log_likelihood",
     "log_likelihood_pscan",
+    "log_likelihood_blocked",
+    "log_likelihood_chunked",
+    "log_likelihood_sharded",
     "ssm_matrices",
     "SHOTerm",
     "RotationTerm",
