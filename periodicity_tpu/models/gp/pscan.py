@@ -159,13 +159,19 @@ def _solve_small(M, B):
     for col in range(r - 1):
         mags = jnp.where(rows >= col, jnp.abs(MB[..., :, col]), -1.0)
         p = jnp.argmax(mags, axis=-1)  # [...] pivot row
-        # swap rows col <-> p (batched permutation gather)
-        idx = jnp.where(
-            rows == col,
-            p[..., None],
-            jnp.where(rows == p[..., None], col, rows),
+        # swap rows col <-> p with one-hot selects — NO gathers: a
+        # take_along_axis here faults the TPU kernel when this runs
+        # inside the big associative scan at N=1e5+ (observed worker
+        # crash), and masked selects fuse better anyway
+        is_p = (rows == p[..., None])[..., None]  # [..., r, 1]
+        is_col = (rows == col)[..., None]
+        row_p = jnp.sum(jnp.where(is_p, MB, 0.0), axis=-2)  # [..., r+k]
+        row_col = MB[..., col, :]  # static index
+        MB = jnp.where(
+            is_col,
+            row_p[..., None, :],
+            jnp.where(is_p, row_col[..., None, :], MB),
         )
-        MB = jnp.take_along_axis(MB, idx[..., None], axis=-2)
         pivot = MB[..., col : col + 1, col : col + 1]
         factors = MB[..., col + 1 :, col : col + 1] / pivot
         MB = MB.at[..., col + 1 :, :].add(-factors * MB[..., col : col + 1, :])
