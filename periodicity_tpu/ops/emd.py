@@ -40,22 +40,42 @@ def _compact_with_edges(t, x, mask, cap):
     slots strictly increasing in time.
 
     Compaction is ONE multi-operand ``lax.sort`` (key = position for
-    extrema, N+position otherwise) carrying (t, x) as co-sorted operands —
+    extrema, N otherwise) carrying (t, x) as co-sorted operands —
     the StringLength trick. The previous ``jnp.nonzero(size=cap)`` +
     ``t[idx]`` formulation lowered to batched dynamic gathers, which
     serialize badly on TPU under vmap and dominated the whole sift
     (~45% of per-iteration time at the HHT shape).
+
+    The sort runs at HALF width: two adjacent samples can never both be
+    local maxima (every plateau/peak is flanked by strict drops, so two
+    midpoints at i and i+1 would each need to be strictly below the
+    other), so one elementwise select packs each (2i, 2i+1) pair into a
+    single slot first. Bitonic sort cost is ~width * log^2(width); the
+    pre-pack cuts the dominant sift cost ~2.4x at N=2048.
     """
     n = t.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    keys = jnp.where(mask, pos, pos + jnp.int32(n))
-    _, st, sx = jax.lax.sort((keys, t, x), num_keys=1)
+    if n % 2:
+        t = jnp.pad(t, (0, 1))
+        x = jnp.pad(x, (0, 1))
+        mask = jnp.pad(mask, (0, 1))
+    n2 = (n + 1) // 2
+    mp = mask.reshape(n2, 2)
+    tp = t.reshape(n2, 2)
+    xp = x.reshape(n2, 2)
+    if n % 2:
+        t, x, mask = t[:-1], x[:-1], mask[:-1]
+    pos2 = 2 * jnp.arange(n2, dtype=jnp.int32)
+    me, mo = mp[:, 0], mp[:, 1]
+    keys = jnp.where(me, pos2, jnp.where(mo, pos2 + 1, jnp.int32(n)))
+    t2 = jnp.where(me, tp[:, 0], tp[:, 1])
+    x2 = jnp.where(me, xp[:, 0], xp[:, 1])
+    _, st, sx = jax.lax.sort((keys, t2, x2), num_keys=1)
     m_int = jnp.sum(mask)
     m = m_int + 2
     slots = jnp.arange(cap + 2)
     # slots 1..m_int read the sorted extrema at STATIC offsets slots-1
-    mid_t = st[jnp.clip(slots - 1, 0, n - 1)]
-    mid_v = sx[jnp.clip(slots - 1, 0, n - 1)]
+    mid_t = st[jnp.clip(slots - 1, 0, n2 - 1)]
+    mid_v = sx[jnp.clip(slots - 1, 0, n2 - 1)]
     fdt = (t[-1] - t[0]) / n + 1.0
     filler_t = t[-1] + (slots - (m - 1)) * fdt
     et = jnp.where(
