@@ -327,10 +327,11 @@ def emd_batch(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
     return modes, residue, n_modes
 
 
-@partial(jax.jit, static_argnames=("max_modes", "max_iter", "pad_width"))
+@partial(jax.jit, static_argnames=("max_modes", "max_iter", "pad_width",
+                                   "unroll"))
 def _emd_pool_segment(t, cur, residue, modes, kmode, it, done, units,
                       gidx, sidx, seg, max_modes, max_iter, pad_width,
-                      theta_1, theta_2, alpha):
+                      theta_1, theta_2, alpha, unroll=1):
     """Run up to ``seg`` sift units of the unified EMD state machine for
     the bucket of lanes ``gidx`` (one sift evaluation per unit, INCLUDING
     mode transitions, so a lane leaves the pool only when its whole
@@ -350,7 +351,7 @@ def _emd_pool_segment(t, cur, residue, modes, kmode, it, done, units,
         def cond(c):
             return (~c[5]) & (c[7] < seg)
 
-        def body(c):
+        def step(c):
             cur, residue, modes, kmode, it, done, units, used = c
             mu, sigma, n_ext, n_zero, ok = sift(t, cur, pad_width=pad_width)
             is_imf = jnp.mean((sigma > theta_1).astype(cur.dtype)) < alpha
@@ -370,6 +371,21 @@ def _emd_pool_segment(t, cur, residue, modes, kmode, it, done, units,
             it = jnp.where(finished, 0, it1)
             return (cur, residue, modes, kmode, it, done, units + 1,
                     used + 1)
+
+        def body(c):
+            # ``unroll`` guarded sift steps per while_loop iteration: the
+            # relay executes each loop trip as a separate dispatch with a
+            # measured ~0.8 ms floor regardless of work, so amortizing it
+            # over several steps is nearly free compute. Each inner step
+            # freezes lanes whose ``done`` flag is already set, keeping
+            # per-lane trajectories bit-identical to unroll=1.
+            for _ in range(unroll):
+                frozen = c[5]
+                c2 = step(c)
+                c = tuple(
+                    jnp.where(frozen, a, b) for a, b in zip(c, c2)
+                )
+            return c
 
         init = (cur, residue, modes, kmode, it, done, units, jnp.int32(0))
         out = jax.lax.while_loop(cond, body, init)
@@ -394,7 +410,8 @@ _POOL_SEG_SCHEDULE = (64, 128, 256, 512, 1024)
 
 
 def emd_pool(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
-             theta_2=0.50, alpha=0.05, min_bucket=8, return_units=False):
+             theta_2=0.50, alpha=0.05, min_bucket=8, return_units=False,
+             unroll=4):
     """Full EMD of a batch with LANE RETIREMENT (the scaling fix for
     lock-step batch sifting, VERDICT r3 directive #2).
 
@@ -450,6 +467,7 @@ def emd_pool(t, Y, max_modes=8, max_iter=2000, pad_width=2, theta_1=0.05,
             t, cur, residue, modes, kmode, it, done, units,
             jnp.asarray(gidx), jnp.asarray(sidx), jnp.int32(seg),
             max_modes, max_iter, pad_width, theta_1, theta_2, alpha,
+            unroll=unroll,
         )
         # one small f32 readback per segment (bool/int readbacks can hit
         # UNIMPLEMENTED on the relay)
