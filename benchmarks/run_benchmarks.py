@@ -548,18 +548,27 @@ def config9_hht_batch():
 
     dt8, _ = timed(8)
     dt32, ysj32 = timed(32)
+    dt64, ysj64 = timed(64)
+    # headline = measured-best aggregate (the pool's saturation point
+    # moved from B~32 to B~64 once the unrolled segments amortized the
+    # relay dispatch floor; same measured-optimum treatment as config 6)
+    bbest, dtb, ysjb = max(
+        [(32, dt32, ysj32), (64, dt64, ysj64)], key=lambda r: r[0] / r[1]
+    )
     # sift-unit count at the headline shape (the roofline's work unit)
-    from periodicity_tpu.ops.emd import emd_batch
+    from periodicity_tpu.ops.emd import emd_pool
 
-    *_, units = emd_batch(t, ysj32 + np.float32(1e-4), max_modes=4,
-                          return_units=True)
+    *_, units = emd_pool(t, ysjb + np.float32(1e-4), max_modes=4,
+                         return_units=True)
     return roofline.config9({
-        "metric": "hht_batched_transforms_per_sec_B32_N2048",
-        "value": 32 / dt32,
+        "metric": f"hht_batched_transforms_per_sec_B{bbest}_N2048",
+        "value": bbest / dtb,
         "unit": "transforms/sec aggregate",
-        "detail": {"ms_per_batch": dt32 * 1e3, "batch": 32,
+        "detail": {"ms_per_batch": dtb * 1e3, "batch": bbest,
                    "b8_ms_per_batch": dt8 * 1e3,
-                   "b8_transforms_per_sec": 8 / dt8},
+                   "b8_transforms_per_sec": 8 / dt8,
+                   "b32_transforms_per_sec": 32 / dt32,
+                   "b64_transforms_per_sec": 64 / dt64},
     }, sift_units=int(np.sum(np.asarray(units))))
 
 

@@ -484,7 +484,8 @@ def _hht_post_kernel(t, Y, modes, n_modes, grid, method, norm_type,
 
 def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
               norm_type="spline", norm_iter=10, max_iter=2000, pad_width=2,
-              theta_1=0.05, theta_2=0.50, alpha=0.05, sifter="auto"):
+              theta_1=0.05, theta_2=0.50, alpha=0.05, sifter="auto",
+              unroll=4):
     """Hilbert-Huang spectrograms for B light curves sharing one time grid
     (the estimator-level batch analog of ``HHT()(signal)``, following the
     ``gls_power_batch``/``wps_batch`` pattern; SURVEY §2.2 row (a)).
@@ -499,6 +500,8 @@ def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
     for B >= 16 — below that the pool cannot compact under its minimum
     bucket and its per-segment host syncs only add latency (measured
     crossover on v5e: lockstep wins at B=8, pool wins 2.3x at B=32).
+    ``unroll`` forwards to the pool (sift steps per while_loop trip —
+    amortizes the relay's per-dispatch floor; results are unroll-exact).
     The per-(member, mode) instantaneous-frequency stack is one flat
     vmap; the time-frequency scatter is batched. Every ``norm_type``
     (``"spline"``, ``"hilbert"``, ``"lmd"``) runs jitted.
@@ -536,7 +539,7 @@ def hht_batch(time, values, frequencies, max_modes=8, method="DQ",
     modes, residue, n_modes = emd_pool(
         t, Y, max_modes=int(max_modes), max_iter=int(max_iter),
         pad_width=int(pad_width), theta_1=theta_1, theta_2=theta_2,
-        alpha=alpha,
+        alpha=alpha, unroll=int(unroll),
     )
     power = _hht_post_kernel(t, Y, modes, n_modes, grid, method.upper(),
                              norm_type.lower(), int(norm_iter))
